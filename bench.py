@@ -1,0 +1,101 @@
+"""Benchmark: streaming frames/sec/chip on the flagship StreamFormer encoder.
+
+Measures the BASELINE.json north-star metric — frame-incremental streaming
+encode (224^2, temporal KV-cache resident in HBM, O(1) per frame). Prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Timing notes: on the axon TPU tunnel ``block_until_ready`` does not
+synchronize, so we use two-point differencing (K1 vs K2 chained steps, scalar
+fetch as the sync barrier) which cancels the tunnel roundtrip.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY §6); we
+normalize against an estimated PyTorch-reference H100 streaming rate of
+300 frames/sec/chip (eager torch per-frame forward with HF DynamicCache is
+dispatch/latency-bound). vs_baseline >= 2.0 meets the BASELINE.json target.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+
+H100_REFERENCE_FPS_EST = 300.0
+
+
+def main():
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        cfg = StreamformerConfig(dtype="bfloat16", cache_capacity=64)
+        batch, k1, k2 = 8, 3, 23
+    else:  # CPU smoke mode
+        cfg = StreamformerConfig(
+            image_size=32,
+            patch_size=16,
+            num_frames=4,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            dtype="float32",
+            use_pallas=False,
+            cache_capacity=8,
+        )
+        batch, k1, k2 = 2, 1, 4
+
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.dtype(cfg.dtype)), params)
+    frame = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch, 1, 3, cfg.image_size, cfg.image_size)
+        ),
+        dtype=jnp.dtype(cfg.dtype),
+    )
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(params, frame, c):
+        out, c = encoder.streaming_forward(params, frame, c, cfg)
+        return out["pooler_output"], c
+
+    state = {"cache": encoder.init_cache(cfg, batch=batch)}
+    pooled, state["cache"] = step(params, frame, state["cache"])  # compile
+    _ = float(jnp.sum(pooled))
+
+    def timed(k):
+        t0 = time.perf_counter()
+        pooled = None
+        for _ in range(k):
+            pooled, state["cache"] = step(params, frame, state["cache"])
+        _ = float(jnp.sum(pooled))  # sync barrier through the tunnel
+        return time.perf_counter() - t0
+
+    reps = 3
+    t1 = min(timed(k1) for _ in range(reps))
+    t2 = min(timed(k2) for _ in range(reps))
+    dt = (t2 - t1) / (k2 - k1)
+
+    fps = batch / dt
+    result = {
+        "metric": "frames/sec/chip streaming encode (224^2, KV-cache)",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# per-step latency: {dt * 1e3:.2f} ms | batch={batch} | "
+        f"capacity={cfg.cache_capacity} | "
+        f"platform={'tpu' if on_tpu else 'cpu-smoke'}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

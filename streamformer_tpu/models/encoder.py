@@ -1,0 +1,668 @@
+"""StreamFormer TPU-native encoder core.
+
+A functional (pure-pytree) re-design of the reference TimeSformer-SigLIP
+backbone (reference: models/modeling_timesformer_siglip.py). One model core
+serves both full-clip and streaming paths — the reference maintained a forked
+copy for KV-caching (downstream/VideoQA/.../timesformer_encoder.py); here the
+temporal attention takes an optional fixed-shape cache so XLA compiles a
+single static program per shape bucket.
+
+Layout: internally everything is ``(B, T, N, D)`` (batch, frames, patches,
+hidden). The reference's packed ``(B, N*T, D)`` layout (n-major,
+modeling_timesformer_siglip.py:452-457) only exists at its API boundary; all
+compute is positionwise or one of two attention flattenings:
+
+* temporal attention: over ``T``, batched over ``(B, N)``
+  (reference ``(B*N, T, D)``, modeling_timesformer_siglip.py:938-941)
+* spatial attention:  over ``N``, batched over ``(B, T)``
+  (reference ``(B*T, N, D)``, modeling_timesformer_siglip.py:962-971)
+
+so ``(B, T, N, D)`` reproduces the math exactly while letting ``pjit`` shard
+``B`` (data) and ``N`` (sequence/patches — temporal attention has no
+cross-patch interaction, SURVEY §5.7).
+
+Parameters are stored float32 in nested dicts with ``kernel`` of shape
+``(in, out)`` (JAX convention; transpose of torch ``weight``); compute happens
+in ``cfg.dtype`` with attention softmax in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Small building blocks
+# --------------------------------------------------------------------------
+
+
+def resolved_precision(cfg: StreamformerConfig) -> str:
+    """Matmul precision: exact fp32 for parity runs, MXU-native for bf16."""
+    if cfg.matmul_precision is not None:
+        return cfg.matmul_precision
+    return "highest" if cfg.dtype == "float32" else "default"
+
+
+def _precise(fn):
+    """Run ``fn`` under the config's matmul precision.
+
+    XLA's fast conv/dot paths (oneDNN on CPU, bf16 passes on TPU) cost ~1e-2
+    absolute error at fp32 — parity runs need "highest".
+    """
+
+    @functools.wraps(fn)
+    def inner(*args, **kw):
+        cfg = kw.get("cfg")
+        if cfg is None:
+            cfg = next(a for a in args if isinstance(a, StreamformerConfig))
+        with jax.default_matmul_precision(resolved_precision(cfg)):
+            return fn(*args, **kw)
+
+    return inner
+
+
+def _trunc_normal(rng, shape, std=0.02, dtype=jnp.float32):
+    # matches torch nn.init.trunc_normal_(std=std) with bounds at 2*std
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float) -> jnp.ndarray:
+    """LayerNorm over the last axis, computed in float32 for stability."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dt)
+
+
+def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Affine map with optional fused LoRA delta.
+
+    LoRA follows the reference convention ``y = W x + B(A x)`` with no extra
+    scaling (modeling_timesformer_siglip.py:536-541): ``lora_a`` is
+    (in, r) normal(0, 0.02)-init, ``lora_b`` is (r, out) zero-init.
+    """
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    if "lora_a" in p:
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+    return y
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # reference hidden_act="gelu" -> exact erf GELU (HF ACT2FN "gelu")
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def drop_path(x, rate, rng, deterministic):
+    """Stochastic depth on the leading (batch) axis.
+
+    Reference: modeling_timesformer_siglip.py:461-484 (per-sample Bernoulli,
+    scaled by keep prob).
+    """
+    if deterministic or rate == 0.0:
+        return x
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Parameter initialization
+# --------------------------------------------------------------------------
+
+
+def _init_dense(rng, d_in, d_out, std=0.02, bias=True):
+    p = {"kernel": _trunc_normal(rng, (d_in, d_out), std)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _init_ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_layer_params(rng, cfg: StreamformerConfig) -> Params:
+    d, m = cfg.hidden_size, cfg.intermediate_size
+    ks = jax.random.split(rng, 8)
+    p = {
+        "layernorm_before": _init_ln(d),
+        "layernorm_after": _init_ln(d),
+        "attention": {
+            "qkv": _init_dense(ks[0], d, 3 * d, bias=cfg.qkv_bias),
+            "out": _init_dense(ks[1], d, d),
+        },
+        "mlp": {
+            "fc1": _init_dense(ks[2], d, m),
+            "fc2": _init_dense(ks[3], m, d),
+        },
+    }
+    if cfg.attention_type == "divided_space_time":
+        p.update(
+            {
+                "temporal_layernorm": _init_ln(d),
+                "temporal_attention": {
+                    "qkv": _init_dense(ks[4], d, 3 * d, bias=cfg.qkv_bias),
+                    "out": _init_dense(ks[5], d, d),
+                },
+                "temporal_dense": _init_dense(ks[6], d, d),
+                # zero-init tanh gate: SigLIP spatial weights start unperturbed
+                # (reference modeling_timesformer_siglip.py:896)
+                "temporal_attention_gating": jnp.zeros((), jnp.float32),
+            }
+        )
+    return p
+
+
+def init_params(rng, cfg: StreamformerConfig) -> Params:
+    d = cfg.hidden_size
+    ks = jax.random.split(rng, cfg.num_hidden_layers + 6)
+    params = {
+        "embeddings": {
+            # HWIO conv kernel for NHWC input (torch OIHW transposed on import)
+            "patch_proj": {
+                "kernel": _trunc_normal(
+                    ks[0], (cfg.patch_size, cfg.patch_size, cfg.num_channels, d)
+                ),
+                "bias": jnp.zeros((d,), jnp.float32),
+            },
+            "position_embeddings": jnp.zeros((cfg.num_patches, d), jnp.float32),
+            "time_embeddings": jnp.zeros((cfg.num_frames, d), jnp.float32),
+        },
+        "layers": [
+            init_layer_params(ks[1 + i], cfg) for i in range(cfg.num_hidden_layers)
+        ],
+        "post_layernorm": _init_ln(d),
+        "map_head": {
+            # reference head.probe ~ randn (modeling_timesformer_siglip.py:1133)
+            "probe": jax.random.normal(ks[-4], (d,), jnp.float32),
+            "q": _init_dense(ks[-3], d, d),
+            "k": _init_dense(ks[-2], d, d),
+            "v": _init_dense(ks[-1], d, d),
+            "out": _init_dense(ks[-5], d, d),
+            "layernorm": _init_ln(d),
+            "mlp": {
+                "fc1": _init_dense(ks[-3], d, cfg.intermediate_size),
+                "fc2": _init_dense(ks[-2], cfg.intermediate_size, d),
+            },
+        },
+    }
+    return params
+
+
+# --------------------------------------------------------------------------
+# Embeddings
+# --------------------------------------------------------------------------
+
+
+def interpolate_pos_embeddings(
+    pos_emb: jnp.ndarray, h_patches: int, w_patches: int
+) -> jnp.ndarray:
+    """Bicubic resize of the (N, D) grid pos-emb for non-224 resolutions.
+
+    Reference: modeling_timesformer_siglip.py:380-411 (F.interpolate bicubic,
+    antialias). jax.image.resize('cubic') uses the same Keys kernel with
+    anti-aliasing on downscale.
+    """
+    n, d = pos_emb.shape
+    m = int(round(n**0.5))
+    if (h_patches, w_patches) == (m, m):
+        return pos_emb
+    grid = pos_emb.reshape(m, m, d).astype(jnp.float32)
+    out = jax.image.resize(grid, (h_patches, w_patches, d), method="cubic")
+    return out.reshape(h_patches * w_patches, d).astype(pos_emb.dtype)
+
+
+def time_embeddings_for_positions(
+    time_emb: jnp.ndarray, start: jnp.ndarray, t_new: int, total: int
+) -> jnp.ndarray:
+    """Time embeddings for absolute frame positions [start, start+t_new).
+
+    ``total`` (static) is the total sequence length after this step. When
+    ``total`` exceeds the trained positions the table is nearest-interpolated
+    to ``total`` then sliced — reference full-clip semantics
+    (modeling_timesformer_siglip.py:434-451) and streaming semantics
+    (timesformer_encoder.py:328-369). torch 'nearest' maps output index i to
+    input index floor(i * T_trained / total).
+    """
+    t_trained = time_emb.shape[0]
+    if total <= t_trained:
+        table = time_emb
+    else:
+        idx = (jnp.arange(total) * t_trained) // total
+        table = time_emb[idx]
+    pos = start + jnp.arange(t_new)
+    return jnp.take(table, pos, axis=0)
+
+
+@_precise
+def embed(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cfg: StreamformerConfig,
+    *,
+    start_pos: jnp.ndarray | int = 0,
+    total_frames: Optional[int] = None,
+    rng=None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Patchify + positional + temporal embeddings.
+
+    pixel_values: (B, T, C, H, W) float — same contract as the reference
+    (modeling_timesformer_siglip.py:413-457). Returns (B, T, N, D).
+    """
+    b, t, c, h, w = pixel_values.shape
+    dt = jnp.dtype(cfg.dtype)
+    ps = cfg.patch_size
+    hp, wp = h // ps, w // ps
+    n = hp * wp
+    x = pixel_values.astype(dt)
+    # Patchify as a single MXU matmul: the stride-p pxp conv is exactly a
+    # (C*p*p)->(D) projection of non-overlapping patches. Patch flattening
+    # order (C, ph, pw) matches the torch conv weight layout.
+    x = x.reshape(b * t, c, hp, ps, wp, ps)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b * t, n, c * ps * ps)
+    kernel = params["embeddings"]["patch_proj"]["kernel"].astype(dt)  # HWIO
+    wmat = kernel.transpose(2, 0, 1, 3).reshape(c * ps * ps, cfg.hidden_size)
+    x = x @ wmat + params["embeddings"]["patch_proj"]["bias"].astype(dt)
+    x = x.reshape(b, t, n, cfg.hidden_size)
+
+    pos = interpolate_pos_embeddings(
+        params["embeddings"]["position_embeddings"], hp, wp
+    ).astype(dt)
+    x = x + pos[None, None]
+    if rng is not None and not deterministic:
+        rng, sub = jax.random.split(rng)
+        x = dropout(x, cfg.hidden_dropout_prob, sub, deterministic)
+
+    if cfg.attention_type != "space_only":
+        total = total_frames if total_frames is not None else t
+        temb = time_embeddings_for_positions(
+            params["embeddings"]["time_embeddings"], jnp.asarray(start_pos), t, total
+        ).astype(dt)
+        x = x + temb[None, :, None, :]
+        if rng is not None and not deterministic:
+            rng, sub = jax.random.split(rng)
+            x = dropout(x, cfg.hidden_dropout_prob, sub, deterministic)
+    return x
+
+
+# --------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------
+
+
+def _qkv_heads(x_ln: jnp.ndarray, p: Params, num_heads: int):
+    """Project to fused qkv and split into (q, k, v) with heads.
+
+    Matches the reference fused-qkv layout: output dim ordered
+    [q(D), k(D), v(D)], heads-major within each
+    (modeling_timesformer_siglip.py:577-589).
+    """
+    *lead, d = x_ln.shape
+    qkv = dense(x_ln, p)
+    qkv = qkv.reshape(*lead, 3, num_heads, d // num_heads)
+    q = qkv[..., 0, :, :]
+    k = qkv[..., 1, :, :]
+    v = qkv[..., 2, :, :]
+    return q, k, v
+
+
+@_precise
+def spatial_attention(
+    x: jnp.ndarray, p: Params, cfg: StreamformerConfig
+) -> jnp.ndarray:
+    """Softmax attention over patches N, batched over (B, T).
+
+    x: (B, T, N, D). Reference: TimesformerSelfAttention
+    (modeling_timesformer_siglip.py:618-717) + output proj (:720-763).
+    """
+    h = cfg.num_attention_heads
+    scale = cfg.head_dim**-0.5
+    q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
+    scores = jnp.einsum(
+        "btqhd,btkhd->bthqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bthqk,btkhd->btqhd", probs, v)
+    ctx = ctx.reshape(*x.shape)
+    return dense(ctx, p["out"])
+
+
+@_precise
+def temporal_attention(
+    x: jnp.ndarray,
+    p: Params,
+    cfg: StreamformerConfig,
+    *,
+    causal: bool,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cache_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray | Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Attention over frames T, batched over (B, N), with optional KV cache.
+
+    x: (B, T, N, D).
+
+    Full-clip (cache_kv=None): lower-triangular causal mask when ``causal``
+    (reference TimesformerCausalSelfAttention,
+    modeling_timesformer_siglip.py:593-601).
+
+    Streaming (cache_kv=(k,v) of shape (B, C, N, H, dh), cache_len=int32):
+    the new frames' K/V are written at [cache_len, cache_len+T) and query row
+    i attends to absolute positions <= cache_len + i (reference streaming
+    mask, timesformer_encoder.py:522-546). Returns (out, new_cache_kv);
+    fixed-capacity C keeps shapes static for XLA.
+    """
+    b, t, n, d = x.shape
+    h = cfg.num_attention_heads
+    scale = cfg.head_dim**-0.5
+    q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
+
+    if cache_kv is None:
+        scores = jnp.einsum(
+            "bqnhd,bknhd->bnhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones((t, t), bool))
+            scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, v).reshape(b, t, n, d)
+        return dense(ctx, p["out"])
+
+    ck, cv = cache_kv  # (B, C, N, H, dh)
+    cap = ck.shape[1]
+    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0))
+    scores = jnp.einsum(
+        "bqnhd,bknhd->bnhqk", q, ck.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale
+    # query absolute position = cache_len + i; key position j valid iff
+    # j <= cache_len + i (causal) and j < cache_len + t (written)
+    qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+    mask = kpos <= qpos if causal else kpos < (cache_len + t)
+    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv.astype(x.dtype))
+    ctx = ctx.reshape(b, t, n, d)
+    return dense(ctx, p["out"]), (ck, cv)
+
+
+# --------------------------------------------------------------------------
+# Transformer layer
+# --------------------------------------------------------------------------
+
+
+@_precise
+def layer_forward(
+    p: Params,
+    x: jnp.ndarray,
+    cfg: StreamformerConfig,
+    *,
+    drop_path_rate: float = 0.0,
+    cache_kv=None,
+    cache_len=None,
+    rng=None,
+    deterministic: bool = True,
+):
+    """One divided space-time block on (B, T, N, D).
+
+    Reference: TimesformerLayerSigLIP.forward
+    (modeling_timesformer_siglip.py:901-1004):
+      1. temporal LN -> (causal) temporal attention -> out proj ->
+         temporal_dense -> residual scaled by tanh(gate)
+      2. LN -> spatial attention -> out proj -> residual
+      3. LN -> MLP -> residual
+    Returns (x, new_cache_kv) when streaming else x.
+    """
+    eps = cfg.layer_norm_eps
+
+    def dp(y, key):
+        if rng is None or deterministic or drop_path_rate == 0.0:
+            return y
+        return drop_path(y, drop_path_rate, jax.random.fold_in(rng, key), False)
+
+    new_cache = None
+    if cfg.attention_type == "divided_space_time":
+        t_ln = layer_norm(x, p["temporal_layernorm"], eps)
+        if cache_kv is not None:
+            t_attn, new_cache = temporal_attention(
+                t_ln,
+                p["temporal_attention"],
+                cfg,
+                causal=cfg.enable_causal_temporal,
+                cache_kv=cache_kv,
+                cache_len=cache_len,
+            )
+        else:
+            t_attn = temporal_attention(
+                t_ln,
+                p["temporal_attention"],
+                cfg,
+                causal=cfg.enable_causal_temporal,
+            )
+        t_res = dense(dp(t_attn, 0), p["temporal_dense"])
+        gate = jnp.tanh(p["temporal_attention_gating"]).astype(x.dtype)
+        x = x + gate * t_res
+
+        s_ln = layer_norm(x, p["layernorm_before"], eps)
+        s_attn = spatial_attention(s_ln, p["attention"], cfg)
+        x = x + dp(s_attn, 1)
+    else:  # space_only / joint_space_time: plain attention over the flattening
+        s_ln = layer_norm(x, p["layernorm_before"], eps)
+        if cfg.attention_type == "joint_space_time":
+            b, t, n, d = x.shape
+            flat = s_ln.reshape(b, 1, t * n, d)
+            attn = spatial_attention(flat, p["attention"], cfg).reshape(b, t, n, d)
+        else:
+            attn = spatial_attention(s_ln, p["attention"], cfg)
+        x = x + dp(attn, 1)
+
+    m_ln = layer_norm(x, p["layernorm_after"], eps)
+    m = dense(m_ln, p["mlp"]["fc1"])
+    m = gelu(m)
+    if rng is not None and not deterministic:
+        m = dropout(
+            m, cfg.hidden_dropout_prob, jax.random.fold_in(rng, 2), deterministic
+        )
+    m = dense(m, p["mlp"]["fc2"])
+    if rng is not None and not deterministic:
+        m = dropout(
+            m, cfg.hidden_dropout_prob, jax.random.fold_in(rng, 3), deterministic
+        )
+    x = x + dp(m, 4)
+    if cache_kv is not None:
+        return x, new_cache
+    return x
+
+
+# --------------------------------------------------------------------------
+# MAP pooling head
+# --------------------------------------------------------------------------
+
+
+@_precise
+def map_pool(x: jnp.ndarray, p: Params, cfg: StreamformerConfig) -> jnp.ndarray:
+    """SigLIP multihead-attention pooling of patch tokens, per frame.
+
+    x: (B, T, N, D) -> (B, T, D). Reference:
+    TimesformerSiglipMultiheadAttentionPoolingHead
+    (modeling_timesformer_siglip.py:1128-1154): a learned probe attends over
+    the N patch tokens (torch nn.MultiheadAttention semantics), then
+    LN + MLP residual.
+    """
+    b, t, n, d = x.shape
+    h = cfg.num_attention_heads
+    dh = d // h
+    scale = dh**-0.5
+    probe = p["probe"].astype(x.dtype)  # (D,)
+    q = (probe @ p["q"]["kernel"].astype(x.dtype)) + p["q"]["bias"].astype(x.dtype)
+    q = q.reshape(h, dh)
+    k = dense(x, p["k"]).reshape(b, t, n, h, dh)
+    v = dense(x, p["v"]).reshape(b, t, n, h, dh)
+    scores = jnp.einsum(
+        "hd,btnhd->bthn", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bthn,btnhd->bthd", probs, v).reshape(b, t, d)
+    pooled = dense(ctx, p["out"])
+    y = layer_norm(pooled, p["layernorm"], cfg.layer_norm_eps)
+    y = dense(y, p["mlp"]["fc1"])
+    y = gelu(y)
+    y = dense(y, p["mlp"]["fc2"])
+    return pooled + y
+
+
+# --------------------------------------------------------------------------
+# Full model forward
+# --------------------------------------------------------------------------
+
+
+def _drop_path_rates(cfg: StreamformerConfig):
+    l = cfg.num_hidden_layers
+    if l == 1:
+        return [0.0]
+    return [cfg.drop_path_rate * i / (l - 1) for i in range(l)]
+
+
+@_precise
+def model_forward(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cfg: StreamformerConfig,
+    *,
+    rng=None,
+    deterministic: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full-clip forward.
+
+    pixel_values: (B, T, C, H, W). Returns
+    ``last_hidden_state`` (B, T, N, D) and ``pooler_output`` (B, T, D) —
+    the published-checkpoint contract
+    (TimesformerMultiTaskingModelSigLIP.forward,
+    modeling_timesformer_siglip.py:1332-1354).
+    """
+    x = embed(params, pixel_values, cfg, rng=rng, deterministic=deterministic)
+    rates = _drop_path_rates(cfg)
+
+    def run_layer(x, i):
+        lrng = None if rng is None else jax.random.fold_in(rng, 1000 + i)
+        return layer_forward(
+            params["layers"][i],
+            x,
+            cfg,
+            drop_path_rate=rates[i],
+            rng=lrng,
+            deterministic=deterministic,
+        )
+
+    if cfg.remat == "layer":
+        for i in range(cfg.num_hidden_layers):
+            x = jax.checkpoint(functools.partial(run_layer, i=i))(x)
+    else:
+        for i in range(cfg.num_hidden_layers):
+            x = run_layer(x, i)
+
+    x = layer_norm(x, params["post_layernorm"], cfg.layer_norm_eps)
+    pooled = map_pool(x, params["map_head"], cfg)
+    return {"last_hidden_state": x, "pooler_output": pooled}
+
+
+# --------------------------------------------------------------------------
+# Streaming forward with fixed-capacity temporal KV cache
+# --------------------------------------------------------------------------
+
+
+def init_cache(
+    cfg: StreamformerConfig,
+    batch: int,
+    num_patches: Optional[int] = None,
+    capacity: Optional[int] = None,
+    dtype=None,
+) -> Params:
+    """Preallocated temporal KV cache: one (B, C, N, H, dh) pair per layer.
+
+    The reference grows an HF DynamicCache unboundedly
+    (timesformer_encoder.py:517-518); here capacity is static so the cache is
+    HBM-resident with no reallocations and one compiled program serves every
+    step.
+    """
+    n = num_patches if num_patches is not None else cfg.num_patches
+    cap = capacity if capacity is not None else cfg.cache_capacity
+    dt = dtype if dtype is not None else jnp.dtype(cfg.dtype)
+    shape = (batch, cap, n, cfg.num_attention_heads, cfg.head_dim)
+    # Per-layer leaves (not one stacked (L, ...) array): each leaf aliases its
+    # donated input so the per-step HBM traffic is only the appended slice,
+    # not a full-cache copy.
+    return {
+        "layers": [
+            {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+        "len": jnp.zeros((), jnp.int32),
+    }
+
+
+@_precise
+def streaming_forward(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cache: Params,
+    cfg: StreamformerConfig,
+    *,
+    total_frames_hint: Optional[int] = None,
+) -> Tuple[Dict[str, jnp.ndarray], Params]:
+    """Append T new frames to the stream; returns (outputs, new_cache).
+
+    Outputs cover only the new frames: ``last_hidden_state`` (B, T, N, D),
+    ``pooler_output`` (B, T, D). Contract: for cache_len = s, the outputs
+    equal the last T frames of a full-clip forward over all s+T frames
+    (reference test_kvcache.py:55-88).
+
+    ``total_frames_hint`` (static) is the sequence length used for
+    time-embedding interpolation; by default the cache capacity governs —
+    within trained positions (total <= num_frames trained) the table is
+    indexed directly, matching the reference exactly.
+    """
+    b, t = pixel_values.shape[:2]
+    cache_len = cache["len"]
+    total = total_frames_hint if total_frames_hint is not None else cfg.num_frames
+    x = embed(
+        params,
+        pixel_values,
+        cfg,
+        start_pos=cache_len,
+        total_frames=max(total, t),
+    )
+    new_layers = []
+    for i in range(cfg.num_hidden_layers):
+        x, (ck, cv) = layer_forward(
+            params["layers"][i],
+            x,
+            cfg,
+            cache_kv=(cache["layers"][i]["k"], cache["layers"][i]["v"]),
+            cache_len=cache_len,
+        )
+        new_layers.append({"k": ck, "v": cv})
+    x = layer_norm(x, params["post_layernorm"], cfg.layer_norm_eps)
+    pooled = map_pool(x, params["map_head"], cfg)
+    new_cache = {"layers": new_layers, "len": cache_len + t}
+    return {"last_hidden_state": x, "pooler_output": pooled}, new_cache

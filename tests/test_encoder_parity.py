@@ -1,0 +1,172 @@
+"""Golden parity gate: JAX encoder vs the torch reference run on CPU.
+
+Builds the reference TimesformerMultiTaskingModelSigLIP with random weights,
+transplants its state dict into our param tree, and requires
+``pooler_output`` / ``last_hidden_state`` to match within 1e-3 max-abs
+(BASELINE.json config #1; SURVEY §7 stage 2 exit criterion).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.checkpoint import convert_backbone_state_dict
+from streamformer_tpu.models import encoder
+
+# small-but-faithful config: multi-head, multi-layer, causal
+SMALL = dict(
+    image_size=48,
+    patch_size=16,
+    num_frames=4,
+    hidden_size=96,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=192,
+    enable_causal_temporal=True,
+)
+
+
+def _build_torch_model(torch_reference_models, **overrides):
+    import torch
+
+    cfg_mod, model_mod = torch_reference_models
+    torch.manual_seed(0)
+    kwargs = dict(SMALL)
+    kwargs.update(overrides)
+    t_cfg = cfg_mod.StreamformerConfig(**kwargs)
+    model = model_mod.TimesformerMultiTaskingModelSigLIP(t_cfg).eval()
+    return model, t_cfg
+
+
+def _jax_setup(model, **overrides):
+    kwargs = dict(SMALL)
+    kwargs.update(overrides)
+    cfg = StreamformerConfig(dtype="float32", use_pallas=False, **kwargs)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_backbone_state_dict(sd, cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_full_clip_parity(torch_reference_models, rng, causal):
+    import torch
+
+    model, _ = _build_torch_model(
+        torch_reference_models, enable_causal_temporal=causal
+    )
+    cfg, params = _jax_setup(model, enable_causal_temporal=causal)
+
+    b, t = 2, SMALL["num_frames"]
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+
+    ref_last = ref.last_hidden_state.numpy()  # (B, T, N, D)
+    ref_pool = ref.pooler_output.numpy()  # (B, T, D)
+    got_last = np.asarray(out["last_hidden_state"])
+    got_pool = np.asarray(out["pooler_output"])
+
+    assert got_last.shape == ref_last.shape
+    assert got_pool.shape == ref_pool.shape
+    np.testing.assert_allclose(got_last, ref_last, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got_pool, ref_pool, atol=1e-3, rtol=1e-3)
+
+
+def test_fewer_frames_than_trained(torch_reference_models, rng):
+    """T < trained frames: time-emb truncation path
+    (modeling_timesformer_siglip.py:434-440)."""
+    import torch
+
+    model, _ = _build_torch_model(torch_reference_models)
+    cfg, params = _jax_setup(model)
+    b, t = 1, 2
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        ref.last_hidden_state.numpy(),
+        atol=1e-3,
+        rtol=1e-3,
+    )
+
+
+def test_more_frames_than_trained(torch_reference_models, rng):
+    """T > trained frames: nearest time-emb interpolation
+    (modeling_timesformer_siglip.py:441-449)."""
+    import torch
+
+    model, _ = _build_torch_model(torch_reference_models)
+    cfg, params = _jax_setup(model)
+    b, t = 1, 7
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        ref.last_hidden_state.numpy(),
+        atol=1e-3,
+        rtol=1e-3,
+    )
+
+
+def test_lora_spatial_parity(torch_reference_models, rng):
+    """LoRA-injected spatial attention parity
+    (modeling_timesformer_siglip.py:519-573, :731-757)."""
+    import torch
+
+    model, _ = _build_torch_model(torch_reference_models)
+    model.add_lora_spatial()
+    # give LoRA B nonzero values so the delta path is actually exercised
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "lora_b" in name:
+                p.normal_(0, 0.02)
+    model = model.eval()
+    cfg, params = _jax_setup(model)
+    b, t = 1, SMALL["num_frames"]
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        ref.last_hidden_state.numpy(),
+        atol=1e-3,
+        rtol=1e-3,
+    )
+
+
+def test_non_square_input_resolution(torch_reference_models, rng):
+    """Bicubic pos-emb interpolation for a different resolution
+    (modeling_timesformer_siglip.py:380-411). Looser tolerance: antialiased
+    bicubic kernels differ slightly between torch and jax.image."""
+    import torch
+
+    model, _ = _build_torch_model(torch_reference_models)
+    cfg, params = _jax_setup(model)
+    b, t, hw = 1, 2, 80
+    px = rng.standard_normal((b, t, 3, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    got = np.asarray(out["last_hidden_state"])
+    refv = ref.last_hidden_state.numpy()
+    assert got.shape == refv.shape
+    # upsampled pos-emb: kernels agree on upsample, keep 1e-2 guard
+    np.testing.assert_allclose(got, refv, atol=1e-2, rtol=1e-2)

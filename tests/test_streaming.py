@@ -1,0 +1,106 @@
+"""Streaming KV-cache == full-clip equivalence (the test_kvcache.py contract).
+
+Reference correctness contract (downstream/VideoQA/test_kvcache.py:55-88):
+encoding frames [s, s+k) with a cache of frames [0, s) must equal the
+corresponding slice of a full-clip encode of frames [0, s+k).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+
+CFG = StreamformerConfig(
+    image_size=48,
+    patch_size=16,
+    num_frames=8,
+    hidden_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=192,
+    enable_causal_temporal=True,
+    dtype="float32",
+    use_pallas=False,
+    cache_capacity=16,
+)
+
+
+def _setup(t_total=8, b=2):
+    params = encoder.init_params(jax.random.PRNGKey(0), CFG)
+    # non-trivial temporal path: open the tanh gate
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.7)
+    rng = np.random.default_rng(1)
+    px = rng.standard_normal((b, t_total, 3, 48, 48)).astype(np.float32)
+    return params, jnp.asarray(px)
+
+
+def test_streaming_matches_full_clip_two_chunks():
+    params, px = _setup()
+    full = encoder.model_forward(params, px, CFG)
+
+    cache = encoder.init_cache(CFG, batch=2)
+    out1, cache = encoder.streaming_forward(params, px[:, :5], cache, CFG)
+    out2, cache = encoder.streaming_forward(params, px[:, 5:], cache, CFG)
+
+    got_pool = np.concatenate(
+        [np.asarray(out1["pooler_output"]), np.asarray(out2["pooler_output"])], axis=1
+    )
+    got_last = np.concatenate(
+        [np.asarray(out1["last_hidden_state"]), np.asarray(out2["last_hidden_state"])],
+        axis=1,
+    )
+    np.testing.assert_allclose(
+        got_pool, np.asarray(full["pooler_output"]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_last, np.asarray(full["last_hidden_state"]), atol=1e-4, rtol=1e-4
+    )
+    assert int(cache["len"]) == 8
+
+
+def test_streaming_frame_by_frame():
+    """One frame per step — the O(1) incremental north-star path."""
+    params, px = _setup()
+    full = encoder.model_forward(params, px, CFG)
+    cache = encoder.init_cache(CFG, batch=2)
+    step = jax.jit(
+        lambda p, f, c: encoder.streaming_forward(p, f, c, CFG),
+        static_argnames=(),
+    )
+    pools = []
+    for t in range(8):
+        out, cache = step(params, px[:, t : t + 1], cache)
+        pools.append(np.asarray(out["pooler_output"]))
+    got = np.concatenate(pools, axis=1)
+    np.testing.assert_allclose(
+        got, np.asarray(full["pooler_output"]), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_streaming_one_compiled_program():
+    """Every step reuses one compiled XLA program (static cache shapes)."""
+    params, px = _setup()
+    cache = encoder.init_cache(CFG, batch=2)
+
+    @jax.jit
+    def step(p, f, c):
+        return encoder.streaming_forward(p, f, c, CFG)
+
+    for t in range(4):
+        out, cache = step(params, px[:, t : t + 1], cache)
+    assert step._cache_size() == 1
+
+
+def test_cache_capacity_shapes_static():
+    cache = encoder.init_cache(CFG, batch=3, capacity=32)
+    assert len(cache["layers"]) == CFG.num_hidden_layers
+    assert cache["layers"][0]["k"].shape == (
+        3,
+        32,
+        CFG.num_patches,
+        CFG.num_attention_heads,
+        CFG.head_dim,
+    )
