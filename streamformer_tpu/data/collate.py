@@ -1,0 +1,214 @@
+"""Per-task collate -> fixed pytree schemas + the multitask loader glue.
+
+The reference probes one sample per task to build a unified key template and
+pads heterogeneous task_inputs to it (construct_task_input_template /
+multiple_tasks_samples_collate, utils.py:1115-1197) because its trainer
+moves a single dict to GPU. Here each task has an explicit schema matching
+``MultitaskModel.loss_fn`` (one XLA program per task), and the loader:
+
+  sampler batch -> host fetch (thread pool) -> stack -> tokenize captions ->
+  attach label tables -> on-device augmentation -> (task_name, batch)
+
+with a 2-deep device prefetch queue so host decode overlaps TPU compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.data import transforms as T
+from streamformer_tpu.data.rand_augment import rand_augment
+from streamformer_tpu.data.random_erasing import random_erasing
+from streamformer_tpu.data.samplers import PAD_INDEX
+from streamformer_tpu.models.multitask import head_type_for_task
+
+
+def make_train_augment(
+    crop_size: int = 224,
+    use_rand_augment: bool = True,
+    ra_config: str = "rand-m7-n4-mstd0.5-inc1",
+    reprob: float = 0.25,
+    mean=T.SIGLIP_MEAN,
+    std=T.SIGLIP_STD,
+):
+    """Jitted per-clip train augmentation on device (the reference Kinetics
+    recipe, kinetics_sparse.py:317-377)."""
+
+    def aug_one(rng, clip_u8):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        x = clip_u8.astype(jnp.float32)
+        if use_rand_augment:
+            x = rand_augment(k1, x, ra_config)
+        x = x / 255.0
+        x = T.random_resized_crop(k2, x, (crop_size, crop_size))
+        x = T.random_horizontal_flip(k3, x)
+        x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+        if reprob > 0:
+            x = random_erasing(k4, x, probability=reprob)
+        return T.to_model_input(x)
+
+    @jax.jit
+    def aug_batch(rng, clips_u8):  # (B, T, H, W, C) uint8
+        keys = jax.random.split(rng, clips_u8.shape[0])
+        return jax.vmap(aug_one)(keys, clips_u8)
+
+    return aug_batch
+
+
+def make_eval_augment(crop_size: int = 224, mean=T.SIGLIP_MEAN, std=T.SIGLIP_STD):
+    def one(clip_u8):
+        x = T.center_crop(clip_u8, (crop_size, crop_size))
+        x = (x.astype(jnp.float32) / 255.0 - jnp.asarray(mean)) / jnp.asarray(std)
+        return T.to_model_input(x)
+
+    @jax.jit
+    def batch(clips_u8):
+        return jax.vmap(one)(clips_u8)
+
+    return batch
+
+
+class MultitaskLoader:
+    """Iterates (task_name, device_batch) pairs for MultitaskTrainer."""
+
+    def __init__(
+        self,
+        dataset,  # MultiTaskDataset
+        sampler,  # DistributedBatchTask*Sampler
+        model,  # MultitaskModel (tokenizer + label tables)
+        crop_size: int = 224,
+        train: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        aug_seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.model = model
+        self.train = train
+        self.aug = (
+            make_train_augment(crop_size) if train else make_eval_augment(crop_size)
+        )
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.aug_seed = aug_seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.sampler)
+
+    # ------------------------------------------------------------------
+
+    def _fetch(self, indices: List[int]) -> List[Dict]:
+        real = [i for i in indices if i != PAD_INDEX]
+        if self.num_workers > 1 and len(real) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                return list(ex.map(self.dataset.__getitem__, real))
+        return [self.dataset[i] for i in real]
+
+    def _collate_host(self, samples: List[Dict]) -> Tuple[str, np.ndarray, List[Dict]]:
+        """numpy-only collation — safe inside the prefetch thread (device
+        dispatch from a second thread deadlocks some PJRT transports)."""
+        task = samples[0]["task_name"]
+        tis = [s["task_input"] for s in samples]
+        frames = np.stack([ti["frames"] for ti in tis])  # (B,T,H,W,C) u8
+        return task, frames, tis
+
+    def _finalize(self, task: str, frames: np.ndarray, tis: List[Dict], step: int):
+        """device-touching half — main thread only."""
+        kind = head_type_for_task(task)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.aug_seed), step)
+        if self.train:
+            pixel_values = self.aug(rng, jnp.asarray(frames))
+        else:
+            pixel_values = self.aug(jnp.asarray(frames))
+
+        task_input: Dict[str, Any] = {}
+        if kind == "classification":
+            task_input["label"] = jnp.asarray([ti["label"] for ti in tis])
+            task_input["label_embeddings"] = self.model.label_embeddings[task]
+        elif kind == "retrieval":
+            task_input["caption_ids"] = jnp.asarray(
+                self.model.tokenize([ti["caption"] for ti in tis])
+            )
+        elif kind == "grounding":
+            task_input["caption_ids"] = jnp.asarray(
+                self.model.tokenize([ti["caption"] for ti in tis])
+            )
+            task_input["label"] = jnp.asarray(
+                np.stack([ti["label"] for ti in tis]).astype(np.float32)
+            )
+        elif kind in ("universal_localization", "naive_localization"):
+            tables = self.model.label_embeddings[task]
+            if isinstance(tables, dict):  # per-dataset tables, pad to L_max
+                lmax = max(int(t.shape[0]) for t in tables.values())
+                d = next(iter(tables.values())).shape[1]
+                emb = np.zeros((len(tis), lmax, d), np.float32)
+                mask = np.zeros((len(tis), lmax), bool)
+                for i, ti in enumerate(tis):
+                    t = np.asarray(tables[ti["dataset"]])
+                    emb[i, : len(t)] = t
+                    mask[i, : len(t)] = True
+                task_input["label_embeddings"] = jnp.asarray(emb)
+                task_input["class_mask"] = jnp.asarray(mask)
+            else:
+                task_input["label_embeddings"] = tables
+            task_input["label"] = jnp.asarray(
+                np.stack([ti["label"] for ti in tis]).astype(np.int64)
+            )
+            if kind == "universal_localization" and "class_mask" not in task_input:
+                b = len(tis)
+                l = int(task_input["label_embeddings"].shape[0])
+                task_input["label_embeddings"] = jnp.tile(
+                    task_input["label_embeddings"][None], (b, 1, 1)
+                )
+                task_input["class_mask"] = jnp.ones((b, l), bool)
+        else:
+            raise NotImplementedError(kind)
+        return task, {"pixel_values": pixel_values, "task_input": task_input}
+
+    def __iter__(self):
+        def host_gen():
+            for step, indices in enumerate(self.sampler):
+                samples = self._fetch(indices)
+                if not samples:
+                    continue
+                yield step, self._collate_host(samples)
+
+        if self.prefetch <= 0:
+            for step, (task, frames, tis) in host_gen():
+                yield self._finalize(task, frames, tis, step)
+            return
+
+        # prefetch thread does host work only (decode + numpy collate);
+        # all jit/device dispatch stays on the consumer thread
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in host_gen():
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            step, (task, frames, tis) = item
+            yield self._finalize(task, frames, tis, step)

@@ -1,0 +1,342 @@
+"""Task dataset classes (host side: decode + sample + light resize; all
+augmentation runs on device via streamformer_tpu.data.transforms).
+
+Contract parity with the reference: every ``__getitem__`` returns
+``{"task_name": str, "task_input": {...}}`` (e.g. kinetics_sparse.py:202-210)
+and any decode error resamples a random index
+(kinetics_sparse.py:313-315, task_grounding.py:249-251 — data-level fault
+tolerance, SURVEY §5.3).
+
+Annotation formats match the reference:
+* classification: header-less CSV ``path<delim>label``
+  (kinetics_sparse.py:92-95);
+* retrieval: pandas CSV with dataset/video/caption columns
+  (task_retrieval.py:29-49);
+* grounding/localization: JSON rows with (video, start, end, sentence /
+  label, duration) (task_grounding.py:52-, task_localization.py:259-).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from streamformer_tpu.data import video_io
+
+
+class _RetryDataset:
+    """Shared error-resilient __getitem__ (random reindex on failure)."""
+
+    _max_retries = 10
+
+    def __getitem__(self, index):
+        for _ in range(self._max_retries):
+            try:
+                return self.get_item(index)
+            except Exception as e:  # noqa: BLE001 — reference catches all
+                index = random.randint(0, len(self) - 1)
+                last = e
+        raise RuntimeError(f"{type(self).__name__}: retries exhausted: {last}")
+
+
+def _host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
+    """Cheap host resize (short side) to bound H2D transfer; device transforms
+    do the precise crops."""
+    import cv2
+
+    t, h, w, c = frames.shape
+    if min(h, w) == short:
+        return frames
+    if h < w:
+        nh, nw = short, max(1, round(w * short / h))
+    else:
+        nh, nw = max(1, round(h * short / w)), short
+    return np.stack(
+        [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in frames]
+    )
+
+
+class VideoClsSparseDataset(_RetryDataset):
+    """TSN sparse-sampled classification (reference VideoClsDataset_sparse,
+    kinetics_sparse.py:39-535). task_name: Kinetics / SSV2."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        task_name: str = "Kinetics",
+        prefix: str = "",
+        split: str = " ",
+        mode: str = "train",
+        clip_len: int = 16,
+        short_side_size: int = 256,
+        test_num_segment: int = 1,
+        test_num_crop: int = 1,
+        label2id: Optional[Dict[str, int]] = None,
+    ):
+        import pandas as pd
+
+        self.task_name = task_name
+        self.prefix = prefix
+        self.mode = mode
+        self.clip_len = clip_len
+        self.short_side_size = short_side_size
+        self.test_num_segment = test_num_segment
+        self.test_num_crop = test_num_crop
+        cleaned = pd.read_csv(anno_path, header=None, delimiter=split)
+        self.samples = list(cleaned.values[:, 0])
+        self.labels = list(cleaned.values[:, 1])
+        self.label2id = label2id
+        if mode == "test":
+            self.views = video_io.test_views(test_num_segment, test_num_crop)
+
+    def __len__(self):
+        n = len(self.samples)
+        return n * len(self.views) if self.mode == "test" else n
+
+    def get_item(self, index):
+        if self.mode == "test":
+            vid_idx, view_idx = divmod(index, len(self.views))
+            chunk_nb, split_nb = self.views[view_idx]
+        else:
+            vid_idx, chunk_nb, split_nb = index, 0, 0
+        path = os.path.join(self.prefix, str(self.samples[vid_idx]))
+        vr = video_io.VideoReader(path)
+        idx = video_io.sparse_sample_indices(
+            len(vr),
+            self.clip_len,
+            mode={"train": "train", "validation": "validation"}.get(
+                self.mode, "test"
+            ),
+            test_chunk=chunk_nb,
+            test_num_segment=self.test_num_segment,
+        )
+        frames = vr.get_batch(idx)
+        vr.close()
+        frames = _host_resize_short(frames, self.short_side_size)
+        out = {
+            "task_name": self.task_name,
+            "task_input": {
+                "frames": frames,  # (T, H, W, C) uint8
+                "label": np.int64(self.labels[vid_idx]),
+            },
+        }
+        if self.mode == "test":
+            out["task_input"].update(
+                {"chunk_nb": chunk_nb, "split_nb": split_nb, "sample_idx": vid_idx}
+            )
+        return out
+
+
+class RetrievalDataset(_RetryDataset):
+    """Video-text retrieval (reference TaskRetrievalDataset,
+    task_retrieval.py:29-329)."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        task_name: str = "TaskRetrieval",
+        mode: str = "train",
+        clip_len: int = 16,
+        short_side_size: int = 256,
+        data_dict: Optional[Dict] = None,
+    ):
+        import pandas as pd
+
+        self.task_name = task_name
+        self.mode = mode
+        self.clip_len = clip_len
+        self.short_side_size = short_side_size
+        self.samples = pd.read_csv(anno_path)
+        self.data_dict = data_dict or {}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_item(self, index):
+        row = self.samples.iloc[index]
+        ds = row.get("dataset", "MSRVTT")
+        root = self.data_dict.get("root_dir", {}).get(ds, "")
+        path = os.path.join(root, str(row["video"]))
+        trimmed = self.data_dict.get("trimmed30s", {}).get(ds, False)
+        vr = video_io.VideoReader(path)
+        total = len(vr)
+        if trimmed and vr.fps > 0:
+            total = min(total, int(30 * vr.fps))
+        idx = video_io.retrieval_sample_indices(
+            total, self.clip_len, "rand" if self.mode == "train" else "middle"
+        )
+        frames = vr.get_batch(idx)
+        vr.close()
+        frames = _host_resize_short(frames, self.short_side_size)
+        return {
+            "task_name": self.task_name,
+            "task_input": {"frames": frames, "caption": str(row["caption"])},
+        }
+
+
+class GroundingDataset(_RetryDataset):
+    """Temporal grounding (reference TaskGroundingDataset,
+    task_grounding.py:52-419): rows (video, start, end, sentence, duration);
+    per-frame ±1 labels from window membership."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        task_name: str = "TaskGrounding",
+        prefix: str = "",
+        mode: str = "train",
+        clip_len: int = 16,
+        short_side_size: int = 256,
+        sampler: str = "uniform",  # "uniform" | "fixfps"
+        fps: float = 0.5,
+    ):
+        self.task_name = task_name
+        self.prefix = prefix
+        self.mode = mode
+        self.clip_len = clip_len
+        self.short_side_size = short_side_size
+        self.sampler = sampler
+        self.fps = fps
+        rows = []
+        with open(anno_path) as f:
+            first = f.read(1)
+            f.seek(0)
+            if first == "[":
+                rows = json.load(f)
+            else:
+                rows = [json.loads(l) for l in f if l.strip()]
+        self.rows = rows
+
+    def __len__(self):
+        return len(self.rows)
+
+    def get_item(self, index):
+        row = self.rows[index]
+        path = os.path.join(self.prefix, row["video"])
+        vr = video_io.VideoReader(path)
+        total = len(vr)
+        duration = float(row.get("duration", total / max(vr.fps, 1e-6)))
+        start = float(row.get("start", row.get("relevant_windows", [[0, 0]])[0][0]))
+        end = float(row.get("end", row.get("relevant_windows", [[0, 0]])[0][1]))
+
+        if self.sampler == "fixfps":
+            # window-centred expansion at fixed fps (task_grounding.py:253-)
+            stride = max(vr.fps / self.fps, 1.0)
+            center = (start + end) / 2 / max(duration, 1e-6) * total
+            half = self.clip_len / 2 * stride
+            lo = int(np.clip(center - half, 0, max(total - 1, 0)))
+            idx = np.clip(
+                lo + np.arange(self.clip_len) * stride, 0, total - 1
+            ).astype(np.int64)
+        else:
+            idx = video_io.retrieval_sample_indices(
+                total, self.clip_len, "rand" if self.mode == "train" else "middle"
+            )
+        times = idx / max(vr.fps, 1e-6)
+        labels = ((times >= start) & (times <= end)).astype(np.float32)
+        frames = vr.get_batch(idx)
+        vr.close()
+        frames = _host_resize_short(frames, self.short_side_size)
+        out = {
+            "task_name": self.task_name,
+            "task_input": {
+                "frames": frames,
+                "caption": str(row.get("sentence", row.get("query", ""))),
+                "label": labels,
+            },
+        }
+        if self.mode != "train":
+            out["task_input"]["meta"] = {
+                "duration": duration,
+                "times": times,
+                "gt": (start, end),
+                "qid": row.get("qid", index),
+            }
+        return out
+
+
+class LocalizationDataset(GroundingDataset):
+    """Temporal localization with class labels (reference
+    TaskLocalizationDataset, task_localization.py:259-427): like grounding
+    but labels are class ids; in-window=class, out-of-window=-1."""
+
+    def __init__(self, *args, label2id: Optional[Dict[str, int]] = None,
+                 dataset_name: str = "TaskLocalization", **kw):
+        super().__init__(*args, **kw)
+        self.label2id = label2id or {}
+        self.dataset_name = dataset_name
+
+    def get_item(self, index):
+        out = super().get_item(index)
+        row = self.rows[index]
+        cls = self.label2id.get(str(row.get("label", "")), 0)
+        frame_mask = out["task_input"].pop("label")  # (T,) {0,1}
+        labels = np.where(frame_mask > 0, cls, -1).astype(np.int64)
+        out["task_input"]["label"] = labels
+        out["task_input"]["dataset"] = self.dataset_name
+        out["task_input"].pop("caption", None)
+        return out
+
+
+class MultiTaskDataset:
+    """Concatenated union with bisect routing + small-dataset balancing
+    (reference MultiTaskDataset, datasets/multi_task.py:14-72)."""
+
+    def __init__(self, datasets: List, balance: bool = False, scale: float = 1.0):
+        import bisect
+
+        self._bisect = bisect
+        if balance and datasets:
+            datasets = self._balance(datasets, scale)
+        self.datasets = datasets
+        self.lengths = [len(d) for d in datasets]
+        self.cum = np.cumsum(self.lengths).tolist()
+
+    @property
+    def unified_dataset_lengths(self):
+        return self.lengths
+
+    @staticmethod
+    def _balance(datasets, scale):
+        """Replicate small datasets toward the max length
+        (reference _balance_sample_num/copy_dataset, multi_task.py:44-58)."""
+        target = max(len(d) for d in datasets) * scale
+
+        class _Repeated:
+            def __init__(self, ds, reps):
+                self.ds, self.reps = ds, reps
+
+            def __len__(self):
+                return len(self.ds) * self.reps
+
+            def __getitem__(self, i):
+                return self.ds[i % len(self.ds)]
+
+            def __getattr__(self, a):
+                return getattr(self.ds, a)
+
+        out = []
+        for d in datasets:
+            reps = max(1, int(round(target / max(len(d), 1))))
+            out.append(_Repeated(d, reps) if reps > 1 else d)
+        return out
+
+    def __len__(self):
+        return self.cum[-1] if self.cum else 0
+
+    def __getitem__(self, index):
+        ds_idx = self._bisect.bisect_right(self.cum, index)
+        prev = self.cum[ds_idx - 1] if ds_idx > 0 else 0
+        return self.datasets[ds_idx][index - prev]
+
+    def task_specs(self):
+        from streamformer_tpu.data.samplers import task_specs_from_lengths
+
+        names = []
+        for d in self.datasets:
+            names.append(getattr(d, "task_name", type(d).__name__))
+        return task_specs_from_lengths(names, self.lengths)

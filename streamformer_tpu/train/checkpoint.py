@@ -1,0 +1,93 @@
+"""Checkpoint save/resume via orbax (reference utils.py:608-933).
+
+Saves {params, opt_state, step, epoch} per epoch as ``checkpoint-<epoch>``
+plus every-10th milestone retention
+(run_finetuning_multi_task.py:492-518), and auto-resume from the latest
+(utils.py:670-879). The reference's Ceph/petrel S3 staging (utils.py:642-667)
+maps to orbax's pluggable filesystem — any fsspec-visible path works.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(output_dir: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"checkpoint-{epoch}")
+
+
+def save_checkpoint(
+    output_dir: str,
+    epoch: int,
+    params: Any,
+    opt_state: Any = None,
+    step: int = 0,
+    keep_every: int = 10,
+    keep_last: int = 2,
+):
+    path = _ckpt_dir(output_dir, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "params": params,
+                "opt_state": opt_state if opt_state is not None else {},
+                "meta": {"epoch": np.asarray(epoch, np.int64), "step": np.asarray(step, np.int64)},
+            },
+            force=True,
+        )
+    # retention: keep milestones (epoch % keep_every == 0 or epoch==0) and the
+    # last keep_last epochs (reference saves every epoch, milestones forever)
+    eps = sorted(
+        int(m.group(1))
+        for d in os.listdir(output_dir)
+        if (m := re.fullmatch(r"checkpoint-(\d+)", d))
+    )
+    for e in eps:
+        if e % keep_every == 0:
+            continue
+        if e >= epoch - keep_last + 1:
+            continue
+        import shutil
+
+        shutil.rmtree(_ckpt_dir(output_dir, e), ignore_errors=True)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[int]:
+    if not os.path.isdir(output_dir):
+        return None
+    eps = [
+        int(m.group(1))
+        for d in os.listdir(output_dir)
+        if (m := re.fullmatch(r"checkpoint-(\d+)", d))
+    ]
+    return max(eps) if eps else None
+
+
+def restore_checkpoint(
+    output_dir: str, epoch: int, like: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Restore with the given pytree structure template."""
+    path = _ckpt_dir(output_dir, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)
+
+
+def auto_resume(
+    output_dir: str, like: Dict[str, Any]
+) -> Optional[Dict[str, Any]]:
+    """Resume from the newest checkpoint-* if present
+    (reference auto_load_model, utils.py:670-879)."""
+    e = latest_checkpoint(output_dir)
+    if e is None:
+        return None
+    out = restore_checkpoint(output_dir, e, like)
+    out["meta"]["epoch"] = int(out["meta"]["epoch"])
+    out["meta"]["step"] = int(out["meta"]["step"])
+    return out

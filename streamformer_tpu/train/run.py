@@ -1,0 +1,210 @@
+"""Training entry point (reference run_finetuning_multi_task.py:39-584).
+
+Usage:
+    python -m streamformer_tpu.train.run --metadata path/to/all.yaml \
+        --output_dir out --batch_size 16 --epochs 20 --lr 2e-5 ...
+
+Flow: config -> datasets (YAML) -> model (+ optional HF checkpoint) ->
+prepare_for_multi_tasks -> freeze/LoRA policy -> optimizer + cosine
+schedules -> epoch loop with per-epoch checkpointing and auto-resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser("StreamFormer-TPU multitask training")
+    # core (reference get_args, run_finetuning_multi_task.py:39-215)
+    p.add_argument("--metadata", required=True, help="dataset metadata YAML")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--model_path", default=None, help="HF checkpoint dir")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--update_freq", type=int, default=1)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--warmup_epochs", type=float, default=1)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--weight_decay_end", type=float, default=None)
+    p.add_argument("--layer_decay", type=float, default=None)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--opt_betas", type=float, nargs=2, default=(0.9, 0.999))
+    p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--num_sample", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--save_ckpt_freq", type=int, default=10)
+    # model policy flags
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_layers", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    p.add_argument("--text_layers", type=int, default=12)
+    p.add_argument("--enable_causal_temporal", action="store_true", default=True)
+    p.add_argument("--add_lora_spatial", action="store_true")
+    p.add_argument("--frozen_spatial", action="store_true")
+    p.add_argument("--frozen_backbone", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--balance_datasets", action="store_true")
+    p.add_argument("--remat", default="none", choices=["none", "layer"])
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from streamformer_tpu.config import StreamformerConfig
+    from streamformer_tpu.checkpoint import hf_import
+    from streamformer_tpu.data.build import build_multi_task_dataset
+    from streamformer_tpu.data.collate import MultitaskLoader
+    from streamformer_tpu.data.samplers import DistributedBatchTaskUniqueSampler
+    from streamformer_tpu.models.multitask import MultitaskModel
+    from streamformer_tpu.train import checkpoint as ckpt_lib
+    from streamformer_tpu.train import metrics as metrics_lib
+    from streamformer_tpu.train import optim
+    from streamformer_tpu.train.trainer import MultitaskTrainer, TrainState
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    train_ds, eval_ds, mtc = build_multi_task_dataset(
+        args.metadata, balance=args.balance_datasets
+    )
+    print(f"train samples: {len(train_ds)} tasks: {list(mtc)}")
+
+    cfg = StreamformerConfig(
+        num_frames=args.num_frames,
+        image_size=args.input_size,
+        hidden_size=args.hidden_size,
+        num_hidden_layers=args.num_layers,
+        num_attention_heads=args.num_heads,
+        intermediate_size=args.intermediate_size,
+        enable_causal_temporal=args.enable_causal_temporal,
+        add_lora_spatial=args.add_lora_spatial,
+        dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
+    )
+    from streamformer_tpu.models.text_encoder import SiglipTextConfig
+
+    text_cfg = SiglipTextConfig(
+        hidden_size=args.hidden_size,
+        num_hidden_layers=args.text_layers,
+        num_attention_heads=args.num_heads,
+        intermediate_size=args.intermediate_size,
+    )
+    model = MultitaskModel(
+        cfg, mtc, text_cfg=text_cfg, rng=jax.random.PRNGKey(args.seed)
+    )
+    if args.model_path:
+        cfg_loaded, backbone = hf_import.from_pretrained(args.model_path, cfg)
+        model.params["backbone"] = backbone
+        print(f"loaded backbone from {args.model_path}")
+    model.prepare_for_multi_tasks()
+
+    # lr scaling rule (run_finetuning_multi_task.py:386-388)
+    total_bs = args.batch_size * args.update_freq
+    lr = optim.scale_lr(args.lr, total_bs, args.num_sample)
+
+    sampler = DistributedBatchTaskUniqueSampler(
+        train_ds.task_specs(), batch_size=args.batch_size
+    )
+    steps_per_epoch = max(len(sampler) // args.update_freq, 1)
+    lr_sched = optim.cosine_lr_schedule(
+        lr, args.min_lr, args.epochs, steps_per_epoch,
+        warmup_epochs=args.warmup_epochs, warmup_steps=args.warmup_steps,
+    )
+    wd_sched = optim.cosine_wd_schedule(
+        args.weight_decay, args.weight_decay_end, args.epochs, steps_per_epoch
+    )
+
+    trainable = optim.trainable_mask_frozen_text(model.params)
+    if args.add_lora_spatial or args.frozen_spatial:
+        bb_mask = optim.trainable_mask_lora_spatial(model.params["backbone"])
+        trainable["backbone"] = bb_mask
+    if args.frozen_backbone:
+        trainable["backbone"] = jax.tree.map(
+            lambda _: False, model.params["backbone"]
+        )
+
+    tx = optim.create_optimizer(
+        model.params,
+        lr_sched,
+        weight_decay=args.weight_decay,
+        wd_schedule=wd_sched if args.weight_decay_end else None,
+        betas=tuple(args.opt_betas),
+        eps=args.opt_eps,
+        clip_grad=args.clip_grad,
+        layer_decay=args.layer_decay,
+        num_layers=cfg.num_hidden_layers,
+        trainable_mask=trainable,
+        opt_name=args.opt,
+    )
+    trainer = MultitaskTrainer(model, tx, update_freq=args.update_freq)
+    state = TrainState.create(model.params, tx)
+
+    start_epoch = 0
+    if args.auto_resume:
+        like = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "meta": {"epoch": np.asarray(0, np.int64), "step": np.asarray(0, np.int64)},
+        }
+        restored = ckpt_lib.auto_resume(args.output_dir, like)
+        if restored is not None:
+            state = TrainState(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                grad_accum=jax.tree.map(jnp.zeros_like, restored["params"]),
+                accum_count=jnp.zeros((), jnp.int32),
+                step=jnp.asarray(restored["meta"]["step"], jnp.int32),
+            )
+            start_epoch = restored["meta"]["epoch"] + 1
+            print(f"resumed from epoch {start_epoch - 1}")
+
+    log_writer = metrics_lib.TensorboardLogger(
+        args.log_dir or os.path.join(args.output_dir, "tb")
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(start_epoch, args.epochs):
+        loader = MultitaskLoader(
+            train_ds, sampler, model, crop_size=args.input_size,
+            num_workers=args.num_workers, aug_seed=args.seed + epoch,
+        )
+        loader.set_epoch(epoch)
+        rng, sub = jax.random.split(rng)
+        t0 = time.time()
+        state, stats = trainer.train_one_epoch(
+            state, iter(loader), epoch, sub, log_writer=log_writer,
+            lr_schedule=lr_sched,
+        )
+        stats["epoch_time"] = time.time() - t0
+        metrics_lib.write_log_line(
+            args.output_dir, {"epoch": epoch, **{k: float(v) for k, v in stats.items()}}
+        )
+        ckpt_lib.save_checkpoint(
+            args.output_dir, epoch, state.params, state.opt_state,
+            step=int(state.step), keep_every=args.save_ckpt_freq,
+        )
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

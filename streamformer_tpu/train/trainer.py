@@ -1,0 +1,188 @@
+"""Multitask trainer: per-task compiled train steps, grad accumulation,
+epoch loop (reference run_finetuning_multi_task.py:229-584 +
+tools/finetune_tools.py:360-639).
+
+Design notes (TPU-native):
+
+* One task per optimizer micro-step (the reference asserts this,
+  tools/finetune_tools.py:412). Task name is static -> one compiled XLA
+  program per task, cached and reused for the whole run.
+* DP: the step is ``jax.jit`` over a global batch; with inputs sharded over
+  a ``data`` mesh axis XLA partitions the model and emits the gradient
+  reduce automatically (replacing DDP allreduce). The contrastive heads'
+  "global batch" semantics hold by construction since jit sees the global
+  array — the explicit ppermute ring in streamformer_tpu.parallel is the
+  shard_map form for manual-collective scaling.
+* Grad accumulation across steps with *different tasks* (the reference's
+  balanced sampler feeds every task per update window): gradients accumulate
+  in a buffer inside TrainState; the optimizer applies every
+  ``update_freq`` micro-steps with grads scaled by 1/update_freq
+  (NativeScaler path, tools/finetune_tools.py:543-573).
+* bf16 compute / fp32 master params; no loss scaler needed on TPU
+  (SURVEY §2.11 AMP row).
+* Non-finite loss -> host raises (reference exits,
+  tools/finetune_tools.py:533-541).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from streamformer_tpu.train import metrics as metrics_lib
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    grad_accum: Any  # gradient buffer (zeros-like params)
+    accum_count: jnp.ndarray  # () int32
+    step: jnp.ndarray  # () int32
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(
+            params=params,
+            opt_state=tx.init(params),
+            grad_accum=jax.tree.map(jnp.zeros_like, params),
+            accum_count=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+jax.tree_util.register_dataclass(
+    TrainState,
+    data_fields=["params", "opt_state", "grad_accum", "accum_count", "step"],
+    meta_fields=[],
+)
+
+
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+class MultitaskTrainer:
+    def __init__(
+        self,
+        model,  # MultitaskModel
+        tx: optax.GradientTransformation,
+        update_freq: int = 1,
+        donate_state: bool = True,
+    ):
+        self.model = model
+        self.tx = tx
+        self.update_freq = update_freq
+        self._step_fns: Dict[Tuple[str, bool], Callable] = {}
+        self._donate = donate_state
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self, task_name: str, apply_update: bool):
+        update_freq = self.update_freq
+        tx = self.tx
+        model = self.model
+
+        def loss_fn(params, pixel_values, task_input, rng):
+            loss, logits = model.loss_fn(
+                params,
+                task_name,
+                pixel_values,
+                task_input,
+                rng=rng,
+                deterministic=False,
+            )
+            return loss, logits
+
+        def step_fn(state: TrainState, pixel_values, task_input, rng):
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, pixel_values, task_input, rng
+            )
+            grads = jax.tree.map(
+                lambda a, g: a + g / update_freq, state.grad_accum, grads
+            )
+            count = state.accum_count + 1
+            if apply_update:
+                grad_norm = optax.global_norm(grads)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    grad_accum=jax.tree.map(jnp.zeros_like, grads),
+                    accum_count=jnp.zeros((), jnp.int32),
+                    step=state.step + 1,
+                )
+            else:
+                grad_norm = jnp.zeros(())
+                new_state = TrainState(
+                    params=state.params,
+                    opt_state=state.opt_state,
+                    grad_accum=grads,
+                    accum_count=count,
+                    step=state.step,
+                )
+            return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+        donate = (0,) if self._donate else ()
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def step_fn(self, task_name: str, apply_update: bool):
+        key = (task_name, apply_update)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(task_name, apply_update)
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(
+        self,
+        state: TrainState,
+        batches: Iterable[Tuple[str, Dict[str, Any]]],
+        epoch: int,
+        rng: jax.Array,
+        log_writer: Optional[metrics_lib.TensorboardLogger] = None,
+        print_freq: int = 10,
+        lr_schedule=None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """batches yields (task_name, {"pixel_values": ..., "task_input": ...})."""
+        logger = metrics_lib.MetricLogger()
+        micro = 0
+        for task_name, batch in logger.log_every(
+            batches, print_freq, header=f"Epoch [{epoch}]"
+        ):
+            apply_update = (micro + 1) % self.update_freq == 0
+            rng, sub = jax.random.split(rng)
+            fn = self.step_fn(task_name, apply_update)
+            state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
+            loss = float(out["loss"])
+            if not math.isfinite(loss):
+                # reference: tools/finetune_tools.py:533-541 exits on
+                # non-finite loss
+                raise NonFiniteLossError(
+                    f"Loss is {loss} on task {task_name}, stopping training"
+                )
+            logger.update(**{f"loss_{task_name}": loss, "loss": loss})
+            if apply_update:
+                logger.update(grad_norm=float(out["grad_norm"]))
+            if log_writer is not None:
+                log_writer.set_step()
+                log_writer.update(
+                    head="loss", **{task_name: loss}
+                )
+                if lr_schedule is not None:
+                    log_writer.update(
+                        head="opt", lr=float(lr_schedule(int(state.step)))
+                    )
+            micro += 1
+        stats = {k: m.global_avg for k, m in logger.meters.items()}
+        return state, stats

@@ -1,0 +1,164 @@
+"""End-to-end data pipeline: synthetic videos -> datasets -> sampler ->
+loader -> multitask train steps (the run_finetuning_multi_task path)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models.multitask import MultitaskModel
+from streamformer_tpu.models.text_encoder import SiglipTextConfig
+
+CFG = StreamformerConfig(
+    image_size=32,
+    patch_size=16,
+    num_frames=4,
+    hidden_size=32,
+    num_hidden_layers=1,
+    num_attention_heads=4,
+    intermediate_size=64,
+    dtype="float32",
+    use_pallas=False,
+)
+TEXT_CFG = SiglipTextConfig(
+    vocab_size=64,
+    hidden_size=32,
+    num_hidden_layers=1,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=8,
+)
+
+
+def _write_video(path, n=12, h=48, w=64):
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h))
+    rng = np.random.default_rng(abs(hash(path)) % 2**32)
+    for _ in range(n):
+        vw.write(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("videos")
+    vids = []
+    for i in range(6):
+        p = str(root / f"v{i}.avi")
+        _write_video(p)
+        vids.append(p)
+
+    # classification anno: "path label"
+    cls_anno = str(root / "cls.csv")
+    with open(cls_anno, "w") as f:
+        for i, v in enumerate(vids[:4]):
+            f.write(f"{v} {i % 2}\n")
+
+    # grounding anno: json rows
+    grd_anno = str(root / "grd.json")
+    rows = [
+        {"video": v, "start": 0.2, "end": 0.8, "duration": 1.2,
+         "sentence": f"clip {i}"}
+        for i, v in enumerate(vids[4:])
+    ]
+    with open(grd_anno, "w") as f:
+        json.dump(rows, f)
+    return {"cls": cls_anno, "grd": grd_anno}
+
+
+def test_build_and_train(data_root):
+    from streamformer_tpu.data.build import build_multi_task_dataset
+    from streamformer_tpu.data.samplers import DistributedBatchTaskUniqueSampler
+    from streamformer_tpu.data.collate import MultitaskLoader
+    from streamformer_tpu.train.trainer import MultitaskTrainer, TrainState
+    import optax
+
+    metadata = {
+        "datasets": {
+            "Kinetics": {
+                "train": {
+                    "mode": "train",
+                    "data_path": data_root["cls"],
+                    "split": " ",
+                    "num_frames": 4,
+                    "short_side_size": 48,
+                }
+            },
+            "TaskGrounding": {
+                "train": {
+                    "mode": "train",
+                    "data_path": data_root["grd"],
+                    "num_frames": 4,
+                    "short_side_size": 48,
+                }
+            },
+        }
+    }
+    train_ds, eval_ds, mtc = build_multi_task_dataset(metadata)
+    assert len(train_ds) == 6
+    assert set(mtc) == {"Kinetics", "TaskGrounding"}
+
+    model = MultitaskModel(CFG, {"Kinetics": {"label2id": {"a": 0, "b": 1}}},
+                           text_cfg=TEXT_CFG)
+    # tiny text cfg has no real tokenizer vocab: stub tokenize
+    model.tokenize = lambda texts, max_length=8: np.ones(
+        (len(texts), 8), np.int32
+    )
+    model.prepare_for_multi_tasks()
+    assert model.label_embeddings["Kinetics"].shape == (2, 32)
+
+    sampler = DistributedBatchTaskUniqueSampler(
+        train_ds.task_specs(), batch_size=2
+    )
+    loader = MultitaskLoader(
+        train_ds, sampler, model, crop_size=32, num_workers=2
+    )
+
+    tx = optax.adamw(1e-4)
+    trainer = MultitaskTrainer(model, tx, donate_state=False)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+
+    seen = set()
+    steps = 0
+    for task, batch in loader:
+        assert batch["pixel_values"].shape[1:] == (4, 3, 32, 32)
+        fn = trainer.step_fn(task, apply_update=True)
+        state, out = fn(state, batch["pixel_values"], batch["task_input"],
+                        jax.random.PRNGKey(steps))
+        assert np.isfinite(float(out["loss"]))
+        seen.add(task)
+        steps += 1
+    assert steps >= 2
+    assert seen == {"Kinetics", "TaskGrounding"}
+
+
+def test_video_reader_and_samplers(data_root):
+    from streamformer_tpu.data import video_io
+
+    # reuse one of the cls videos
+    with open(data_root["cls"]) as f:
+        path = f.readline().split(" ")[0]
+    vr = video_io.VideoReader(path)
+    assert len(vr) == 12
+    batch = vr.get_batch([0, 5, 11])
+    assert batch.shape == (3, 48, 64, 3)
+    vr.close()
+
+    idx = video_io.sparse_sample_indices(100, 8, "validation")
+    assert len(idx) == 8 and (np.diff(idx) > 0).all()
+    idx_t0 = video_io.sparse_sample_indices(
+        100, 8, "test", test_chunk=0, test_num_segment=4
+    )
+    idx_t3 = video_io.sparse_sample_indices(
+        100, 8, "test", test_chunk=3, test_num_segment=4
+    )
+    assert (idx_t3 >= idx_t0).all() and (idx_t3 > idx_t0).any()
+
+    r = video_io.resample_to_fps(300, native_fps=30.0, target_fps=24.0)
+    assert len(r) == 240

@@ -1,0 +1,171 @@
+"""Trainer stack: optimizer factory, multitask train steps, checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models.multitask import MultitaskModel
+from streamformer_tpu.models.text_encoder import SiglipTextConfig
+from streamformer_tpu.train import optim
+from streamformer_tpu.train.trainer import MultitaskTrainer, TrainState
+
+CFG = StreamformerConfig(
+    image_size=32,
+    patch_size=16,
+    num_frames=4,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    dtype="float32",
+    use_pallas=False,
+)
+TEXT_CFG = SiglipTextConfig(
+    vocab_size=64,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=8,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return MultitaskModel(CFG, {"Kinetics": {"label2id": {"a": 0, "b": 1}}},
+                          text_cfg=TEXT_CFG)
+
+
+def _class_batch(rng, b=4, l=3):
+    lab_emb = rng.standard_normal((l, CFG.hidden_size)).astype(np.float32)
+    lab_emb /= np.linalg.norm(lab_emb, axis=-1, keepdims=True)
+    return {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((b, 4, 3, 32, 32)).astype(np.float32)
+        ),
+        "task_input": {
+            "label_embeddings": jnp.asarray(lab_emb),
+            "label": jnp.asarray(rng.integers(0, l, b)),
+        },
+    }
+
+
+def _grounding_batch(rng, b=4):
+    return {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((b, 4, 3, 32, 32)).astype(np.float32)
+        ),
+        "task_input": {
+            "caption_ids": jnp.asarray(
+                rng.integers(0, 64, (b, 8)).astype(np.int32)
+            ),
+            "label": jnp.asarray(rng.integers(0, 2, (b, 4)).astype(np.float32)),
+        },
+    }
+
+
+def test_weight_decay_mask(model):
+    mask = optim.weight_decay_mask(model.params)
+    assert mask["logit_scale"] is False
+    assert mask["backbone"]["post_layernorm"]["scale"] is False
+    assert mask["backbone"]["layers"][0]["attention"]["qkv"]["kernel"] is True
+
+
+def test_layer_decay_scales(model):
+    scales = optim.layer_decay_scales(
+        model.params["backbone"], CFG.num_hidden_layers, 0.75
+    )
+    emb = scales["embeddings"]["position_embeddings"]
+    l0 = scales["layers"][0]["attention"]["qkv"]["kernel"]
+    l1 = scales["layers"][1]["attention"]["qkv"]["kernel"]
+    head = scales["map_head"]["probe"]
+    assert emb < l0 < l1 < head == 1.0
+
+
+def test_lr_schedule_warmup_and_decay():
+    sched = optim.cosine_lr_schedule(1e-3, 1e-6, epochs=2, steps_per_epoch=50,
+                                     warmup_epochs=1)
+    assert float(sched(0)) < 1e-4
+    np.testing.assert_allclose(float(sched(50)), 1e-3, rtol=1e-4)
+    assert float(sched(99)) < 2e-4
+
+
+def test_multitask_training_loss_decreases(model, rng):
+    lr = optim.cosine_lr_schedule(3e-3, 1e-5, epochs=1, steps_per_epoch=20)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01,
+                                clip_grad=1.0)
+    trainer = MultitaskTrainer(model, tx, update_freq=1)
+    # donated steps invalidate the input buffers — give the state its own copy
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+
+    cb = _class_batch(rng)
+    gb = _grounding_batch(rng)
+    first = {}
+    last = {}
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        for task, batch in [("Kinetics", cb), ("CharadesSTA", gb)]:
+            key, sub = jax.random.split(key)
+            fn = trainer.step_fn(task, apply_update=True)
+            state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
+            loss = float(out["loss"])
+            first.setdefault(task, loss)
+            last[task] = loss
+    for task in first:
+        assert last[task] < first[task], (task, first[task], last[task])
+    assert int(state.step) == 16
+
+
+def test_grad_accumulation_equivalence(model, rng):
+    """update_freq=2 on two identical batches == one step with the same batch
+    (grads averaged)."""
+    tx = optax.sgd(0.1)
+    b = _class_batch(rng)
+    key = jax.random.PRNGKey(1)
+
+    tr1 = MultitaskTrainer(model, tx, update_freq=1, donate_state=False)
+    s1 = TrainState.create(model.params, tx)
+    fn1 = tr1.step_fn("Kinetics", True)
+    s1, _ = fn1(s1, b["pixel_values"], b["task_input"], key)
+
+    tr2 = MultitaskTrainer(model, tx, update_freq=2, donate_state=False)
+    s2 = TrainState.create(model.params, tx)
+    fna = tr2.step_fn("Kinetics", False)
+    fnb = tr2.step_fn("Kinetics", True)
+    s2, _ = fna(s2, b["pixel_values"], b["task_input"], key)
+    s2, _ = fnb(s2, b["pixel_values"], b["task_input"], key)
+
+    p1 = s1.params["backbone"]["layers"][0]["attention"]["qkv"]["kernel"]
+    p2 = s2.params["backbone"]["layers"][0]["attention"]["qkv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_trainable_mask_freezes_lora_base(model):
+    mask = optim.trainable_mask_lora_spatial(model.params["backbone"])
+    l0 = mask["layers"][0]
+    assert l0["attention"]["qkv"]["kernel"] is False
+    assert l0["attention"]["out"]["kernel"] is False
+    assert l0["temporal_attention"]["qkv"]["kernel"] is True
+    assert l0["mlp"]["fc1"]["kernel"] is True
+
+
+def test_checkpoint_roundtrip(model, tmp_path):
+    from streamformer_tpu.train import checkpoint as ckpt
+
+    tx = optax.sgd(0.1)
+    state = TrainState.create(model.params, tx)
+    ckpt.save_checkpoint(str(tmp_path), epoch=3, params=state.params,
+                         opt_state=None, step=17)
+    assert ckpt.latest_checkpoint(str(tmp_path)) == 3
+    like = {"params": state.params, "opt_state": {},
+            "meta": {"epoch": np.asarray(0, np.int64), "step": np.asarray(0, np.int64)}}
+    out = ckpt.auto_resume(str(tmp_path), like)
+    assert out["meta"]["epoch"] == 3 and out["meta"]["step"] == 17
+    p0 = out["params"]["backbone"]["post_layernorm"]["scale"]
+    np.testing.assert_array_equal(
+        np.asarray(p0), np.asarray(state.params["backbone"]["post_layernorm"]["scale"])
+    )
