@@ -33,7 +33,9 @@ H100_REFERENCE_FPS_EST = 300.0
 def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        cfg = StreamformerConfig(dtype="bfloat16", cache_capacity=64)
+        # the BASELINE.json metric is 16-frame-context streaming encode —
+        # capacity 16 bounds the attention context (and HBM traffic) to it
+        cfg = StreamformerConfig(dtype="bfloat16", cache_capacity=16)
         batch, k1, k2 = 8, 3, 23
     else:  # CPU smoke mode
         cfg = StreamformerConfig(
@@ -72,6 +74,10 @@ def main():
         t0 = time.perf_counter()
         pooled = None
         for _ in range(k):
+            # steady-state 16f context: hold the cache at capacity-1 so each
+            # step attends the full 16-frame window
+            state["cache"] = {**state["cache"],
+                              "len": jnp.asarray(cfg.cache_capacity - 1, jnp.int32)}
             pooled, state["cache"] = step(params, frame, state["cache"])
         _ = float(jnp.sum(pooled))  # sync barrier through the tunnel
         return time.perf_counter() - t0

@@ -58,6 +58,9 @@ class StreamformerConfig:
     dtype: str = "bfloat16"
     # Use fused Pallas kernels for the divided attention when on TPU.
     use_pallas: bool = True
+    # The flash-decoding streaming cache kernel (experimental: correct but
+    # not yet faster than the XLA einsum path on v5e — see ops/attention.py).
+    use_pallas_streaming: bool = False
     # Matmul precision: None = auto ("highest" for float32 parity runs,
     # "default" for bf16 TPU runs).
     matmul_precision: Optional[str] = None

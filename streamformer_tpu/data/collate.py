@@ -175,6 +175,32 @@ class MultitaskLoader:
                     task_input["label_embeddings"][None], (b, 1, 1)
                 )
                 task_input["class_mask"] = jnp.ones((b, l), bool)
+        elif kind == "vis":
+            # gather the pre-sampled class subsets from the per-dataset
+            # label tables (negative sampling ran in the dataset)
+            tables = self.model.label_embeddings[task]
+            lsel = len(tis[0]["selected_classes"])
+            d = next(iter(tables.values())).shape[1]
+            emb = np.zeros((len(tis), lsel, d), np.float32)
+            mask = np.zeros((len(tis), lsel), bool)
+            for i, ti in enumerate(tis):
+                table = np.asarray(tables[ti["dataset"]])
+                sel = np.asarray(ti["selected_classes"])
+                valid = sel >= 0
+                emb[i, valid] = table[sel[valid]]
+                mask[i] = valid
+            task_input["label_embeddings"] = jnp.asarray(emb)
+            task_input["class_mask"] = jnp.asarray(mask)
+            task_input["mask_target"] = jnp.asarray(
+                np.stack([ti["mask_target"] for ti in tis])
+            )
+        elif kind == "refervos":
+            task_input["caption_ids"] = jnp.asarray(
+                self.model.tokenize([ti["caption"] for ti in tis])
+            )
+            task_input["mask_target"] = jnp.asarray(
+                np.stack([ti["mask_target"] for ti in tis])
+            )
         else:
             raise NotImplementedError(kind)
         return task, {"pixel_values": pixel_values, "task_input": task_input}

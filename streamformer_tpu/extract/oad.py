@@ -1,0 +1,129 @@
+"""Long-video per-frame feature extraction for OAD.
+
+Rebuild of extract_oad_feature.py (143 LoC): decode -> resize224/center-crop
+/normalize(0.5) -> resample to 24 fps -> per-frame 768-d features -> .npy
+(L x D), consumed by the OAD detector's data layer
+(downstream/OAD/.../perframe_data_layers.py:18).
+
+Two modes:
+
+* ``windowed`` — reference-faithful: slide a ``window_size``-frame window
+  with ``stride`` and take the last-frame pooled feature per window
+  (extract_oad_feature.py:34-35,122-133). Cost: O(L * window) encodes.
+* ``streaming`` (default) — TPU-native improvement: one causal pass with the
+  temporal KV cache; every frame's pooled feature falls out of a single
+  chunked encode. A fixed-capacity cache bounds the attention context to the
+  last ``capacity`` frames, which *contains* the reference's 6-frame window
+  context, so features are at least as informed at O(L) encodes.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+from streamformer_tpu.data import transforms as T
+from streamformer_tpu.data import video_io
+
+
+def preprocess_frames(frames_u8: np.ndarray, size: int = 224) -> jnp.ndarray:
+    """Resize short side -> center crop -> normalize(0.5) -> (T, C, H, W)
+    (reference transform stack, extract_oad_feature.py:42-48)."""
+    x = jnp.asarray(frames_u8)
+    x = T.resize_short_side(x, size)
+    x = T.center_crop(x, (size, size))
+    x = (x - 0.5) / 0.5
+    return T.to_model_input(x)
+
+
+def extract_features_streaming(
+    params,
+    cfg: StreamformerConfig,
+    pixel_values: jnp.ndarray,  # (L, C, H, W) preprocessed frames
+    chunk: int = 16,
+    capacity: Optional[int] = None,
+) -> np.ndarray:
+    """One causal pass over the video; returns (L, D) per-frame features."""
+    capacity = capacity or cfg.cache_capacity
+    l = pixel_values.shape[0]
+    pad = (-l) % chunk
+    if pad:
+        pixel_values = jnp.concatenate(
+            [pixel_values, jnp.zeros((pad,) + pixel_values.shape[1:],
+                                     pixel_values.dtype)]
+        )
+    n_chunks = pixel_values.shape[0] // chunk
+    cache = encoder.init_cache(cfg, batch=1, capacity=capacity)
+
+    step = jax.jit(
+        partial(encoder.streaming_forward, cfg=cfg), donate_argnums=(2,)
+    )
+    feats = []
+    for i in range(n_chunks):
+        clip = pixel_values[i * chunk : (i + 1) * chunk][None]  # (1, chunk, C, H, W)
+        # bounded context: restart the cache when the window fills (sliding
+        # ring-buffer eviction lands with the Pallas cache kernel)
+        if int(cache["len"]) + chunk > capacity:
+            cache = encoder.init_cache(cfg, batch=1, capacity=capacity)
+        out, cache = step(params, clip.astype(jnp.dtype(cfg.dtype)), cache)
+        feats.append(np.asarray(out["pooler_output"][0], np.float32))
+    out = np.concatenate(feats, axis=0)
+    return out[:l]
+
+
+def extract_features_windowed(
+    params,
+    cfg: StreamformerConfig,
+    pixel_values: jnp.ndarray,  # (L, C, H, W)
+    window_size: int = 6,
+    stride: int = 4,
+) -> np.ndarray:
+    """Reference-faithful sliding-window extraction
+    (extract_oad_feature.py:34-35,122-133): encode each window, keep the
+    last-frame pooled feature."""
+    l = pixel_values.shape[0]
+    starts = list(range(0, max(l - window_size, 0) + 1, stride)) or [0]
+    windows = []
+    for s in starts:
+        win = pixel_values[s : s + window_size]
+        if win.shape[0] < window_size:
+            win = jnp.concatenate(
+                [win, jnp.zeros((window_size - win.shape[0],) + win.shape[1:],
+                                win.dtype)]
+            )
+        windows.append(win)
+    batch = jnp.stack(windows).astype(jnp.dtype(cfg.dtype))
+
+    fwd = jax.jit(lambda p, x: encoder.model_forward(p, x, cfg)["pooler_output"])
+    feats = np.asarray(fwd(params, batch), np.float32)  # (W, window, D)
+    return feats[:, -1]  # last frame summarizes (causal)
+
+
+def extract_video(
+    params,
+    cfg: StreamformerConfig,
+    video_path: str,
+    out_path: Optional[str] = None,
+    target_fps: float = 24.0,
+    mode: str = "streaming",
+    **kw,
+) -> np.ndarray:
+    frames, fps = video_io.read_video_full(video_path)
+    idx = video_io.resample_to_fps(len(frames), fps, target_fps)
+    frames = frames[idx]
+    px = preprocess_frames(frames, cfg.image_size).astype(jnp.dtype(cfg.dtype))
+    if mode == "streaming":
+        feats = extract_features_streaming(params, cfg, px, **kw)
+    else:
+        feats = extract_features_windowed(params, cfg, px, **kw)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        np.save(out_path, feats)
+    return feats

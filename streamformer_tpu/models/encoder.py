@@ -99,8 +99,18 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
+def act_fn(x: jnp.ndarray, name: str = "gelu") -> jnp.ndarray:
+    """HF ACT2FN subset: "gelu" is the exact erf GELU (the reference default,
+    configuration_streamformer.py:101), "gelu_pytorch_tanh"/"gelu_new" the
+    tanh approximation (SigLIP's native act)."""
+    if name in ("gelu_pytorch_tanh", "gelu_new", "gelu_fast"):
+        return jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu(x)
+    return jax.nn.gelu(x, approximate=False)
+
+
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    # reference hidden_act="gelu" -> exact erf GELU (HF ACT2FN "gelu")
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -310,6 +320,10 @@ def embed(
 # --------------------------------------------------------------------------
 
 
+def _use_pallas(cfg: StreamformerConfig) -> bool:
+    return cfg.use_pallas and jax.default_backend() == "tpu"
+
+
 def _qkv_heads(x_ln: jnp.ndarray, p: Params, num_heads: int):
     """Project to fused qkv and split into (q, k, v) with heads.
 
@@ -335,15 +349,25 @@ def spatial_attention(
     x: (B, T, N, D). Reference: TimesformerSelfAttention
     (modeling_timesformer_siglip.py:618-717) + output proj (:720-763).
     """
+    b, t, n, d = x.shape
     h = cfg.num_attention_heads
     scale = cfg.head_dim**-0.5
     q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
-    scores = jnp.einsum(
-        "btqhd,btkhd->bthqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bthqk,btkhd->btqhd", probs, v)
-    ctx = ctx.reshape(*x.shape)
+    if _use_pallas(cfg):
+        from streamformer_tpu.ops import attention as pops
+
+        def to_rhnd(a):
+            return a.reshape(b * t, n, h, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        ctx = pops.fused_spatial_attention(to_rhnd(q), to_rhnd(k), to_rhnd(v))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n, d)
+    else:
+        scores = jnp.einsum(
+            "btqhd,btkhd->bthqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bthqk,btkhd->btqhd", probs, v)
+        ctx = ctx.reshape(*x.shape)
     return dense(ctx, p["out"])
 
 
@@ -356,6 +380,7 @@ def temporal_attention(
     causal: bool,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     cache_len: Optional[jnp.ndarray] = None,
+    attend_cap: Optional[int] = None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Attention over frames T, batched over (B, N), with optional KV cache.
 
@@ -391,18 +416,40 @@ def temporal_attention(
     cap = ck.shape[1]
     ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0))
     cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0))
-    scores = jnp.einsum(
-        "bqnhd,bknhd->bnhqk", q, ck.astype(q.dtype), preferred_element_type=jnp.float32
-    ) * scale
-    # query absolute position = cache_len + i; key position j valid iff
-    # j <= cache_len + i (causal) and j < cache_len + t (written)
-    qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
-    mask = kpos <= qpos if causal else kpos < (cache_len + t)
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv.astype(x.dtype))
-    ctx = ctx.reshape(b, t, n, d)
+    # capacity bucketing: attention reads only a static prefix of the cache
+    # (callers pick the bucket >= cache_len + t host-side; one compiled
+    # program per bucket). Cuts HBM traffic proportionally while the stream
+    # is shorter than the full capacity.
+    ck_att, cv_att = ck, cv
+    if attend_cap is not None and attend_cap < cap:
+        ck_att = ck[:, :attend_cap]
+        cv_att = cv[:, :attend_cap]
+        cap = attend_cap
+    if _use_pallas(cfg) and cfg.use_pallas_streaming:
+        from streamformer_tpu.ops import attention as pops
+
+        q_bnht = q.transpose(0, 2, 3, 1, 4)  # (B, N, H, T, dh)
+        ctx = pops.fused_temporal_streaming_attention(
+            q_bnht, ck_att.astype(q.dtype), cv_att.astype(q.dtype), cache_len,
+            causal=causal,
+        )
+        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, t, n, d)
+    else:
+        scores = jnp.einsum(
+            "bqnhd,bknhd->bnhqk",
+            q,
+            ck_att.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # query absolute position = cache_len + i; key position j valid iff
+        # j <= cache_len + i (causal) and j < cache_len + t (written)
+        qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+        mask = kpos <= qpos if causal else kpos < (cache_len + t)
+        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv_att.astype(x.dtype))
+        ctx = ctx.reshape(b, t, n, d)
     return dense(ctx, p["out"]), (ck, cv)
 
 
@@ -420,6 +467,7 @@ def layer_forward(
     drop_path_rate: float = 0.0,
     cache_kv=None,
     cache_len=None,
+    attend_cap=None,
     rng=None,
     deterministic: bool = True,
 ):
@@ -451,6 +499,7 @@ def layer_forward(
                 causal=cfg.enable_causal_temporal,
                 cache_kv=cache_kv,
                 cache_len=cache_len,
+                attend_cap=attend_cap,
             )
         else:
             t_attn = temporal_attention(
@@ -526,7 +575,7 @@ def map_pool(x: jnp.ndarray, p: Params, cfg: StreamformerConfig) -> jnp.ndarray:
     pooled = dense(ctx, p["out"])
     y = layer_norm(pooled, p["layernorm"], cfg.layer_norm_eps)
     y = dense(y, p["mlp"]["fc1"])
-    y = gelu(y)
+    y = act_fn(y, cfg.hidden_act)
     y = dense(y, p["mlp"]["fc2"])
     return pooled + y
 
@@ -629,6 +678,7 @@ def streaming_forward(
     cfg: StreamformerConfig,
     *,
     total_frames_hint: Optional[int] = None,
+    attend_capacity: Optional[int] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Params]:
     """Append T new frames to the stream; returns (outputs, new_cache).
 
@@ -660,6 +710,7 @@ def streaming_forward(
             cfg,
             cache_kv=(cache["layers"][i]["k"], cache["layers"][i]["v"]),
             cache_len=cache_len,
+            attend_cap=attend_capacity,
         )
         new_layers.append({"k": ck, "v": cv})
     x = layer_norm(x, params["post_layernorm"], cfg.layer_norm_eps)
