@@ -1,0 +1,72 @@
+"""Multi-chip shardings on the virtual 8-device CPU mesh: TP param placement
+and sharded-vs-single-device numerical equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+from streamformer_tpu.parallel.mesh import make_mesh
+from streamformer_tpu.parallel import sharding as sh
+
+CFG = StreamformerConfig(
+    image_size=32,
+    patch_size=16,
+    num_frames=4,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    dtype="float32",
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(data=4, model=2)
+
+
+def test_param_specs(mesh):
+    params = encoder.init_params(jax.random.PRNGKey(0), CFG)
+    sharded = sh.shard_params(params, mesh)
+    qkv = sharded["layers"][0]["attention"]["qkv"]["kernel"]
+    out = sharded["layers"][0]["attention"]["out"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")  # column parallel
+    assert out.sharding.spec == P("model", None)  # row parallel
+    ln = sharded["layers"][0]["layernorm_before"]["scale"]
+    assert ln.sharding.spec == P()
+
+
+def test_sharded_forward_matches_single_device(mesh, rng):
+    params = encoder.init_params(jax.random.PRNGKey(0), CFG)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.5)
+    px = jnp.asarray(rng.standard_normal((8, 4, 3, 32, 32)).astype(np.float32))
+
+    ref = encoder.model_forward(params, px, CFG)["pooler_output"]
+
+    params_s = sh.shard_params(params, mesh)
+    px_s = jax.device_put(px, sh.batch_sharding(mesh))
+    got = jax.jit(lambda p, x: encoder.model_forward(p, x, CFG)["pooler_output"])(
+        params_s, px_s
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import importlib
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ge = importlib.import_module("__graft_entry__")
+    ge.dryrun_multichip(8)
