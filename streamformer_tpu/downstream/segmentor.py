@@ -1,0 +1,438 @@
+"""Mask2Former-style video instance segmentor on the ViT-Adapter FPN.
+
+Rebuild of the reference OVIS model stack (downstream/OVIS/mask2former +
+ctvis, 17.6k LoC fork of CTVIS/Mask2Former/detectron2):
+
+* pixel decoder: MSDeformAttn transformer encoder over the res3..res5
+  scales + lateral fusion up to res2 for the high-res mask features
+  (mask2former/modeling/pixel_decoder/msdeformattn.py);
+* masked transformer decoder: learned queries, L rounds of
+  masked cross-attention -> self-attention -> FFN cycling through the three
+  scales, per-layer class + mask heads
+  (mask2former CLMultiScaleMaskedTransformerDecoder);
+* Hungarian matcher + criterion: CE over classes, sigmoid-BCE + dice over
+  sampled mask points (mask2former/modeling/matcher.py, criterion.py) —
+  matching runs host-side (scipy linear_sum_assignment) on stop-gradient
+  costs, loss is pure JAX;
+* CTVIS-style online tracker: similarity-guided matching against a momentum
+  memory bank of instance embeddings (ctvis SimpleTracker :368).
+
+Everything is functional and static-shape: queries/instances padded to
+fixed counts with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.ops.msdeform_attn import init_msdeform_params, ms_deform_attn
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentorConfig:
+    hidden_dim: int = 256
+    num_queries: int = 100
+    num_classes: int = 40
+    nheads: int = 8
+    dim_feedforward: int = 1024
+    enc_layers: int = 3  # pixel decoder encoder layers
+    dec_layers: int = 9  # transformer decoder layers
+    mask_dim: int = 256
+    in_dim: int = 768  # adapter FPN channel dim
+    no_object_weight: float = 0.1
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(rng, din, dout):
+    lim = math.sqrt(6 / (din + dout))
+    return {
+        "kernel": jax.random.uniform(rng, (din, dout), jnp.float32, -lim, lim),
+        "bias": jnp.zeros((dout,), jnp.float32),
+    }
+
+
+def _ln_init(d):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def _dense(x, p):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _ln(x, p, eps=1e-5):
+    m = jnp.mean(x, -1, keepdims=True)
+    v = jnp.var(x, -1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def _mha_init(rng, d):
+    ks = jax.random.split(rng, 4)
+    return {
+        "q": _dense_init(ks[0], d, d),
+        "k": _dense_init(ks[1], d, d),
+        "v": _dense_init(ks[2], d, d),
+        "out": _dense_init(ks[3], d, d),
+    }
+
+
+def _mha(p, q_in, kv_in, heads, attn_mask=None):
+    b, lq, d = q_in.shape
+    lk = kv_in.shape[1]
+    dh = d // heads
+    q = _dense(q_in, p["q"]).reshape(b, lq, heads, dh)
+    k = _dense(kv_in, p["k"]).reshape(b, lk, heads, dh)
+    v = _dense(kv_in, p["v"]).reshape(b, lk, heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh**-0.5)
+    if attn_mask is not None:  # (B, Lq, Lk) bool, True = allowed
+        s = jnp.where(attn_mask[:, None], s, -1e30)
+    a = jax.nn.softmax(s, -1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, lq, d)
+    return _dense(o, p["out"])
+
+
+# ---------------------------------------------------------------------------
+# pixel decoder
+# ---------------------------------------------------------------------------
+
+
+def init_pixel_decoder(rng, cfg: SegmentorConfig) -> Params:
+    ks = iter(jax.random.split(rng, 8 + 4 * cfg.enc_layers))
+    d = cfg.hidden_dim
+    layers = []
+    for _ in range(cfg.enc_layers):
+        layers.append(
+            {
+                "attn": init_msdeform_params(next(ks), d, 3, cfg.nheads, 4),
+                "ln1": _ln_init(d),
+                "fc1": _dense_init(next(ks), d, cfg.dim_feedforward),
+                "fc2": _dense_init(next(ks), cfg.dim_feedforward, d),
+                "ln2": _ln_init(d),
+            }
+        )
+    return {
+        "input_proj": [
+            _dense_init(next(ks), cfg.in_dim, d) for _ in range(3)
+        ],
+        "level_embed": 0.02 * jax.random.normal(next(ks), (3, d)),
+        "layers": layers,
+        "lateral_res2": _dense_init(next(ks), cfg.in_dim, d),
+        "mask_proj": _dense_init(next(ks), d, cfg.mask_dim),
+    }
+
+
+def _ref_points(shapes):
+    pts = []
+    for h, w in shapes:
+        ys = (jnp.arange(h) + 0.5) / h
+        xs = (jnp.arange(w) + 0.5) / w
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+    return jnp.concatenate(pts, 0)
+
+
+def pixel_decoder_forward(
+    p: Params,
+    fpn: Dict[str, jnp.ndarray],  # res2..res5, NHWC, channel=cfg.in_dim
+    cfg: SegmentorConfig,
+):
+    """Returns (per-scale memory [res5, res4, res3] each (B, Hi*Wi, D),
+    their shapes, and the high-res mask features (B, H2, W2, mask_dim))."""
+    feats = [fpn["res5"], fpn["res4"], fpn["res3"]]  # low -> high res
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    b = feats[0].shape[0]
+    toks = []
+    for i, f in enumerate(feats):
+        t = _dense(f.reshape(b, -1, f.shape[-1]), p["input_proj"][i])
+        toks.append(t + p["level_embed"][i])
+    src = jnp.concatenate(toks, axis=1)
+
+    ref = jnp.tile(
+        _ref_points(shapes)[None, :, None, :], (b, 1, 3, 1)
+    )  # (B, S, L, 2)
+    for lp in p["layers"]:
+        attn = ms_deform_attn(
+            lp["attn"], src, ref, src, shapes, n_heads=cfg.nheads, n_points=4
+        )
+        src = _ln(src + attn, lp["ln1"])
+        y = _dense(jax.nn.relu(_dense(src, lp["fc1"])), lp["fc2"])
+        src = _ln(src + y, lp["ln2"])
+
+    # split back per scale
+    sizes = [h * w for h, w in shapes]
+    outs, start = [], 0
+    for sz in sizes:
+        outs.append(src[:, start : start + sz])
+        start += sz
+
+    # mask features: finest encoded scale (res3) upsampled + res2 lateral
+    h3, w3 = shapes[2]
+    f3 = outs[2].reshape(b, h3, w3, cfg.hidden_dim)
+    res2 = fpn["res2"]
+    h2, w2 = res2.shape[1], res2.shape[2]
+    up = jax.image.resize(f3, (b, h2, w2, cfg.hidden_dim), "linear")
+    lat = _dense(res2.reshape(b, -1, res2.shape[-1]), p["lateral_res2"])
+    mask_feat = up + lat.reshape(b, h2, w2, cfg.hidden_dim)
+    mask_feat = _dense(mask_feat, p["mask_proj"])  # (B, H2, W2, mask_dim)
+    return outs, shapes, mask_feat
+
+
+# ---------------------------------------------------------------------------
+# masked transformer decoder
+# ---------------------------------------------------------------------------
+
+
+def init_mask_decoder(rng, cfg: SegmentorConfig) -> Params:
+    ks = iter(jax.random.split(rng, 8 + 6 * cfg.dec_layers))
+    d = cfg.hidden_dim
+    layers = []
+    for _ in range(cfg.dec_layers):
+        layers.append(
+            {
+                "cross": _mha_init(next(ks), d),
+                "ln1": _ln_init(d),
+                "self": _mha_init(next(ks), d),
+                "ln2": _ln_init(d),
+                "fc1": _dense_init(next(ks), d, cfg.dim_feedforward),
+                "fc2": _dense_init(next(ks), cfg.dim_feedforward, d),
+                "ln3": _ln_init(d),
+            }
+        )
+    return {
+        "query_feat": 0.02 * jax.random.normal(next(ks), (cfg.num_queries, d)),
+        "query_embed": 0.02 * jax.random.normal(next(ks), (cfg.num_queries, d)),
+        "layers": layers,
+        "decoder_norm": _ln_init(d),
+        "class_head": _dense_init(next(ks), d, cfg.num_classes + 1),
+        "mask_head": {
+            "fc1": _dense_init(next(ks), d, d),
+            "fc2": _dense_init(next(ks), d, d),
+            "fc3": _dense_init(next(ks), d, cfg.mask_dim),
+        },
+    }
+
+
+def _mask_embed(p, q):
+    y = jax.nn.relu(_dense(q, p["fc1"]))
+    y = jax.nn.relu(_dense(y, p["fc2"]))
+    return _dense(y, p["fc3"])
+
+
+def mask_decoder_forward(
+    p: Params,
+    memory: List[jnp.ndarray],  # per-scale (B, Si, D), coarse -> fine
+    shapes: Sequence[Tuple[int, int]],
+    mask_feat: jnp.ndarray,  # (B, H2, W2, mask_dim)
+    cfg: SegmentorConfig,
+):
+    """Returns dict with final + auxiliary per-layer predictions:
+    pred_logits (B, Q, C+1), pred_masks (B, Q, H2, W2), embeddings (B, Q, D).
+    """
+    b = memory[0].shape[0]
+    q = jnp.tile(p["query_feat"][None], (b, 1, 1))
+    qe = p["query_embed"][None]
+
+    def predict(q):
+        qn = _ln(q, p["decoder_norm"])
+        logits = _dense(qn, p["class_head"])
+        membed = _mask_embed(p["mask_head"], qn)
+        masks = jnp.einsum("bqc,bhwc->bqhw", membed, mask_feat)
+        return logits, masks, qn
+
+    aux = []
+    logits, masks, _ = predict(q)
+    for li, lp in enumerate(p["layers"]):
+        scale = li % len(memory)
+        h, w = shapes[scale]
+        # masked cross-attention: queries only attend where their current
+        # mask prediction is positive (Mask2Former's key trick)
+        am = jax.image.resize(masks, (b, masks.shape[1], h, w), "linear")
+        attn_mask = (jax.nn.sigmoid(am) > 0.5).reshape(b, masks.shape[1], h * w)
+        # degenerate all-False rows attend everywhere (reference guard)
+        any_true = attn_mask.any(-1, keepdims=True)
+        attn_mask = jnp.where(any_true, attn_mask, True)
+        q = _ln(
+            q + _mha(lp["cross"], q + qe, memory[scale], cfg.nheads,
+                     attn_mask=attn_mask),
+            lp["ln1"],
+        )
+        q = _ln(q + _mha(lp["self"], q + qe, q + qe, cfg.nheads), lp["ln2"])
+        y = _dense(jax.nn.relu(_dense(q, lp["fc1"])), lp["fc2"])
+        q = _ln(q + y, lp["ln3"])
+        logits, masks, qn = predict(q)
+        aux.append({"pred_logits": logits, "pred_masks": masks})
+
+    return {
+        "pred_logits": logits,
+        "pred_masks": masks,
+        "embeddings": qn,
+        "aux": aux[:-1],
+    }
+
+
+def init_segmentor(rng, cfg: SegmentorConfig) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "pixel_decoder": init_pixel_decoder(k1, cfg),
+        "mask_decoder": init_mask_decoder(k2, cfg),
+    }
+
+
+def segmentor_forward(params, fpn, cfg: SegmentorConfig):
+    memory, shapes, mask_feat = pixel_decoder_forward(
+        params["pixel_decoder"], fpn, cfg
+    )
+    return mask_decoder_forward(
+        params["mask_decoder"], memory, shapes, mask_feat, cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# matcher + criterion
+# ---------------------------------------------------------------------------
+
+
+def dice_loss(pred: jnp.ndarray, target: jnp.ndarray, eps=1.0):
+    """pred logits, target {0,1}; flattened over pixels."""
+    p = jax.nn.sigmoid(pred).reshape(pred.shape[0], -1)
+    t = target.reshape(target.shape[0], -1)
+    num = 2 * jnp.sum(p * t, -1)
+    den = jnp.sum(p, -1) + jnp.sum(t, -1)
+    return 1 - (num + eps) / (den + eps)
+
+
+def _bce_logits(pred, target):
+    return jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+def hungarian_match(
+    pred_logits: np.ndarray,  # (Q, C+1)
+    pred_masks: np.ndarray,  # (Q, H, W)
+    gt_classes: np.ndarray,  # (G,)
+    gt_masks: np.ndarray,  # (G, H, W)
+    cfg: SegmentorConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side bipartite matching on class+mask costs
+    (mask2former matcher semantics)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if len(gt_classes) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    prob = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
+    prob /= prob.sum(-1, keepdims=True)
+    cost_class = -prob[:, gt_classes]  # (Q, G)
+    pm = pred_masks.reshape(len(pred_masks), -1)
+    gm = gt_masks.reshape(len(gt_masks), -1).astype(np.float32)
+    ps = 1 / (1 + np.exp(-pm))
+    num = 2 * ps @ gm.T
+    den = ps.sum(-1, keepdims=True) + gm.sum(-1)[None]
+    cost_dice = 1 - (num + 1) / (den + 1)
+    bce_pos = np.logaddexp(0, -pm) @ gm.T / gm.shape[1]
+    bce_neg = np.logaddexp(0, pm) @ (1 - gm).T / gm.shape[1]
+    cost_mask = bce_pos + bce_neg
+    cost = (
+        cfg.class_weight * cost_class
+        + cfg.mask_weight * cost_mask
+        + cfg.dice_weight * cost_dice
+    )
+    qi, gi = linear_sum_assignment(cost)
+    return qi.astype(np.int64), gi.astype(np.int64)
+
+
+def criterion(
+    outputs: Dict[str, jnp.ndarray],
+    matches: List[Tuple[np.ndarray, np.ndarray]],  # per-sample (qi, gi)
+    gt_classes: jnp.ndarray,  # (B, Gmax) padded with -1
+    gt_masks: jnp.ndarray,  # (B, Gmax, H, W)
+    cfg: SegmentorConfig,
+) -> jnp.ndarray:
+    """Set-prediction loss given host-side matches: CE over classes
+    (no-object for unmatched), BCE + dice on matched masks."""
+    b, qn = outputs["pred_logits"].shape[:2]
+    total = 0.0
+    for i in range(b):
+        qi, gi = matches[i]
+        # class targets: no-object by default
+        tgt = jnp.full((qn,), cfg.num_classes, jnp.int32)
+        if len(qi):
+            tgt = tgt.at[jnp.asarray(qi)].set(gt_classes[i][jnp.asarray(gi)])
+        logp = jax.nn.log_softmax(outputs["pred_logits"][i], -1)
+        w = jnp.where(tgt == cfg.num_classes, cfg.no_object_weight, 1.0)
+        ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0] * w
+        total = total + cfg.class_weight * ce.sum() / jnp.sum(w)
+        if len(qi):
+            pm = outputs["pred_masks"][i][jnp.asarray(qi)]
+            gm = gt_masks[i][jnp.asarray(gi)].astype(jnp.float32)
+            gm = jax.image.resize(gm, pm.shape, "nearest")
+            total = total + cfg.mask_weight * _bce_logits(pm, gm).mean()
+            total = total + cfg.dice_weight * dice_loss(pm, gm).mean()
+    return total / b
+
+
+# ---------------------------------------------------------------------------
+# CTVIS-style online tracker
+# ---------------------------------------------------------------------------
+
+
+class SimpleTracker:
+    """Similarity-guided online instance tracker with a momentum memory bank
+    (reference ctvis SimpleTracker, ctvis_model.py:368)."""
+
+    def __init__(self, sim_threshold: float = 0.5, momentum: float = 0.8):
+        self.sim_threshold = sim_threshold
+        self.momentum = momentum
+        self.memory: Optional[np.ndarray] = None  # (K, D)
+        self.ids: List[int] = []
+        self._next = 0
+
+    def reset(self):
+        self.memory, self.ids, self._next = None, [], 0
+
+    def update(self, embeddings: np.ndarray) -> List[int]:
+        """embeddings: (N, D) for this frame's kept instances; returns
+        per-instance track ids."""
+        emb = embeddings / np.maximum(
+            np.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-6
+        )
+        if self.memory is None or not len(self.ids):
+            self.memory = emb.copy()
+            self.ids = list(range(len(emb)))
+            self._next = len(emb)
+            return list(self.ids)
+        mem = self.memory / np.maximum(
+            np.linalg.norm(self.memory, axis=-1, keepdims=True), 1e-6
+        )
+        sim = emb @ mem.T  # (N, K)
+        from scipy.optimize import linear_sum_assignment
+
+        ni, ki = linear_sum_assignment(-sim)
+        out_ids = [-1] * len(emb)
+        used = set()
+        for n, k in zip(ni, ki):
+            if sim[n, k] >= self.sim_threshold:
+                out_ids[n] = self.ids[k]
+                self.memory[k] = (
+                    self.momentum * self.memory[k] + (1 - self.momentum) * emb[n]
+                )
+                used.add(k)
+        for n in range(len(emb)):
+            if out_ids[n] == -1:  # new track
+                out_ids[n] = self._next
+                self._next += 1
+                self.memory = np.concatenate([self.memory, emb[n : n + 1]])
+                self.ids.append(out_ids[n])
+        return out_ids

@@ -1,0 +1,121 @@
+"""Mask2Former-style segmentor: shapes, matching, loss decrease, tracking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from streamformer_tpu.downstream import segmentor as SEG
+
+CFG = SEG.SegmentorConfig(
+    hidden_dim=32,
+    num_queries=8,
+    num_classes=5,
+    nheads=4,
+    dim_feedforward=64,
+    enc_layers=1,
+    dec_layers=3,
+    mask_dim=32,
+    in_dim=32,
+)
+
+
+def _fpn(rng, b=2, base=16):
+    return {
+        "res2": jnp.asarray(rng.standard_normal((b, base, base, 32)).astype(np.float32)),
+        "res3": jnp.asarray(rng.standard_normal((b, base // 2, base // 2, 32)).astype(np.float32)),
+        "res4": jnp.asarray(rng.standard_normal((b, base // 4, base // 4, 32)).astype(np.float32)),
+        "res5": jnp.asarray(rng.standard_normal((b, base // 8, base // 8, 32)).astype(np.float32)),
+    }
+
+
+def test_segmentor_output_contract(rng):
+    params = SEG.init_segmentor(jax.random.PRNGKey(0), CFG)
+    out = SEG.segmentor_forward(params, _fpn(rng), CFG)
+    assert out["pred_logits"].shape == (2, 8, 6)
+    assert out["pred_masks"].shape == (2, 8, 16, 16)
+    assert out["embeddings"].shape == (2, 8, 32)
+    assert len(out["aux"]) == CFG.dec_layers - 1
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def test_hungarian_match_sensible(rng):
+    q, g, h, w = 6, 2, 8, 8
+    logits = np.full((q, CFG.num_classes + 1), -5.0, np.float32)
+    masks = np.full((q, h, w), -8.0, np.float32)
+    # query 3 predicts class 1 and the left half; query 0 class 2, right half
+    logits[3, 1] = 5.0
+    masks[3, :, : w // 2] = 8.0
+    logits[0, 2] = 5.0
+    masks[0, :, w // 2 :] = 8.0
+    gt_cls = np.array([1, 2])
+    gt_masks = np.zeros((g, h, w), np.float32)
+    gt_masks[0, :, : w // 2] = 1
+    gt_masks[1, :, w // 2 :] = 1
+    qi, gi = SEG.hungarian_match(logits, masks, gt_cls, gt_masks, CFG)
+    m = dict(zip(gi.tolist(), qi.tolist()))
+    assert m[0] == 3 and m[1] == 0
+
+
+def test_criterion_trains(rng):
+    params = SEG.init_segmentor(jax.random.PRNGKey(0), CFG)
+    fpn = _fpn(rng)
+    gt_cls = jnp.asarray([[1, 3], [2, -1]])
+    gt_masks = np.zeros((2, 2, 16, 16), np.float32)
+    gt_masks[0, 0, :8] = 1
+    gt_masks[0, 1, 8:] = 1
+    gt_masks[1, 0, :, :8] = 1
+    gt_masks = jnp.asarray(gt_masks)
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    fwd = jax.jit(lambda p: SEG.segmentor_forward(p, fpn, CFG))
+
+    def match_phase(params):
+        # phase 1 (host): matching on an eager stop-gradient forward
+        out = fwd(params)
+        matches = []
+        for i in range(2):
+            valid = np.asarray(gt_cls[i]) >= 0
+            qi, gi = SEG.hungarian_match(
+                np.asarray(out["pred_logits"][i]),
+                np.asarray(out["pred_masks"][i]),
+                np.asarray(gt_cls[i])[valid],
+                np.asarray(gt_masks[i])[valid],
+                CFG,
+            )
+            matches.append((qi, gi))
+        return matches
+
+    def loss_fn(params, matches):
+        # phase 2 (traced): loss with fixed matches
+        out = SEG.segmentor_forward(params, fpn, CFG)
+        return SEG.criterion(out, matches, gt_cls, gt_masks, CFG)
+
+    losses = []
+    for step in range(6):
+        matches = match_phase(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, matches)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_tracker_identity_consistency():
+    tr = SEG.SimpleTracker(sim_threshold=0.3)
+    e1 = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+    ids1 = tr.update(e1)
+    assert ids1 == [0, 1]
+    # same instances, swapped order + slight noise -> same ids swapped
+    e2 = np.array([[0, 0.9, 0.1], [0.95, 0.05, 0]], np.float32)
+    ids2 = tr.update(e2)
+    assert ids2 == [1, 0]
+    # a new instance gets a new id
+    e3 = np.array([[0, 0, 1.0]], np.float32)
+    ids3 = tr.update(e3)
+    assert ids3 == [2]
