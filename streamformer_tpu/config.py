@@ -61,6 +61,9 @@ class StreamformerConfig:
     # The flash-decoding streaming cache kernel (experimental: correct but
     # not yet faster than the XLA einsum path on v5e — see ops/attention.py).
     use_pallas_streaming: bool = False
+    # The fused spatial attention kernel (correct; matches the einsum path's
+    # speed but loses to XLA's fused dot_product_attention on v5e).
+    use_pallas_spatial: bool = False
     # Matmul precision: None = auto ("highest" for float32 parity runs,
     # "default" for bf16 TPU runs).
     matmul_precision: Optional[str] = None
