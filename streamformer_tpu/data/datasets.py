@@ -340,3 +340,77 @@ class MultiTaskDataset:
         for d in self.datasets:
             names.append(getattr(d, "task_name", type(d).__name__))
         return task_specs_from_lengths(names, self.lengths)
+
+
+class RawFrameClsDataset(_RetryDataset):
+    """Raw-frame classification dataset (reference SSRawFrameClsDataset,
+    datasets/ssv2.py:37): videos stored as frame directories with
+    ``img_{:05d}.jpg`` files; TSN sparse sampling over the frame count.
+    Anno CSV rows: ``dir<delim>total_frames<delim>label``."""
+
+    def __init__(
+        self,
+        anno_path: str,
+        task_name: str = "SSV2",
+        prefix: str = "",
+        split: str = " ",
+        mode: str = "train",
+        clip_len: int = 16,
+        short_side_size: int = 256,
+        filename_tmpl: str = "img_{:05}.jpg",
+        test_num_segment: int = 1,
+        test_num_crop: int = 1,
+    ):
+        import pandas as pd
+
+        self.task_name = task_name
+        self.prefix = prefix
+        self.mode = mode
+        self.clip_len = clip_len
+        self.short_side_size = short_side_size
+        self.filename_tmpl = filename_tmpl
+        self.test_num_segment = test_num_segment
+        cleaned = pd.read_csv(anno_path, header=None, delimiter=split)
+        self.samples = list(cleaned.values[:, 0])
+        self.total_frames = list(cleaned.values[:, 1])
+        self.labels = list(cleaned.values[:, -1])
+        if mode == "test":
+            self.views = video_io.test_views(test_num_segment, test_num_crop)
+
+    def __len__(self):
+        n = len(self.samples)
+        return n * len(self.views) if self.mode == "test" else n
+
+    def get_item(self, index):
+        import cv2
+
+        if self.mode == "test":
+            vid_idx, view_idx = divmod(index, len(self.views))
+            chunk_nb, _ = self.views[view_idx]
+        else:
+            vid_idx, chunk_nb = index, 0
+        total = int(self.total_frames[vid_idx])
+        idx = video_io.sparse_sample_indices(
+            total,
+            self.clip_len,
+            mode={"train": "train", "validation": "validation"}.get(
+                self.mode, "test"
+            ),
+            test_chunk=chunk_nb,
+            test_num_segment=self.test_num_segment,
+        )
+        vdir = os.path.join(self.prefix, str(self.samples[vid_idx]))
+        frames = []
+        for i in idx:
+            img = cv2.imread(os.path.join(vdir, self.filename_tmpl.format(i + 1)))
+            if img is None:
+                raise IOError(vdir)
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        frames = _host_resize_short(np.stack(frames), self.short_side_size)
+        return {
+            "task_name": self.task_name,
+            "task_input": {
+                "frames": frames,
+                "label": np.int64(self.labels[vid_idx]),
+            },
+        }
