@@ -53,6 +53,12 @@ class StreamformerConfig:
     # Fixed capacity (in frames) of the temporal KV ring buffer used for
     # streaming inference. Static so XLA compiles one program.
     cache_capacity: int = 64
+    # Cache behavior past capacity: "linear" stops at the buffer edge (the
+    # stream must fit in capacity); "ring" wraps - attention becomes a
+    # sliding window over the last cache_capacity frames, so streams are
+    # unbounded in fixed HBM (the reference's DynamicCache grows without
+    # bound; SURVEY §5.7 flags the windowed ring as the fix).
+    cache_mode: str = "linear"
     # Compute dtype for the encoder ("bfloat16" on TPU, "float32" for parity
     # tests). Params are always stored float32; cast on entry.
     dtype: str = "bfloat16"

@@ -260,7 +260,9 @@ def time_embeddings_for_positions(
         idx = (jnp.arange(total) * t_trained) // total
         table = time_emb[idx]
     pos = start + jnp.arange(t_new)
-    return jnp.take(table, pos, axis=0)
+    # clamp: positions beyond the (possibly interpolated) table reuse the
+    # last embedding — out-of-bounds gathers would otherwise fill with NaN
+    return jnp.take(table, pos, axis=0, mode="clip")
 
 
 @_precise
@@ -429,8 +431,18 @@ def temporal_attention(
 
     ck, cv = cache_kv  # (B, C, N, H, dh)
     cap = ck.shape[1]
-    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0))
+    if cfg.cache_mode == "ring":
+        # wrap-around write: slot = absolute position mod capacity
+        slots = (cache_len + jnp.arange(t)) % cap
+        ck = ck.at[:, slots].set(k.astype(ck.dtype))
+        cv = cv.at[:, slots].set(v.astype(cv.dtype))
+    else:
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0)
+        )
     # capacity bucketing: attention reads only a static prefix of the cache
     # (callers pick the bucket >= cache_len + t host-side; one compiled
     # program per bucket). Cuts HBM traffic proportionally while the stream
@@ -456,11 +468,20 @@ def temporal_attention(
             ck_att.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) * scale
-        # query absolute position = cache_len + i; key position j valid iff
-        # j <= cache_len + i (causal) and j < cache_len + t (written)
         qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
-        mask = kpos <= qpos if causal else kpos < (cache_len + t)
+        if cfg.cache_mode == "ring":
+            # slot s holds the newest absolute position p = s (mod cap) with
+            # p < total; unwritten slots give p < 0. The window constraint
+            # (p > total - 1 - cap) holds by construction.
+            total = cache_len + t
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+            kpos = s_idx + cap * jnp.floor_divide(total - 1 - s_idx, cap)
+            mask = (kpos >= 0) & ((kpos <= qpos) if causal else (kpos < total))
+        else:
+            # query absolute position = cache_len + i; key position j valid
+            # iff j <= cache_len + i (causal) and j < cache_len + t (written)
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+            mask = kpos <= qpos if causal else kpos < (cache_len + t)
         scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv_att.astype(x.dtype))
