@@ -75,6 +75,10 @@ class StreamformerConfig:
     matmul_precision: Optional[str] = None
     # remat ("gradient checkpointing") granularity: "none" | "layer"
     remat: str = "none"
+    # Sequence parallelism: shard the patch axis N over the "model" mesh
+    # axis inside the encoder (temporal attention has no cross-patch
+    # interaction - SURVEY §5.7 - so only the spatial attention gathers).
+    shard_patches: bool = False
 
     # ---- derived helpers ----
     @property

@@ -148,3 +148,49 @@ def validate_localization(
                         {"label": int(c), "segment": [s, e], "score": float(score)}
                     )
     return results
+
+
+def evaluate_multitask(
+    model, params, eval_union, crop_size: int = 224, batch_size: int = 8,
+    num_workers: int = 4,
+) -> Dict[str, Dict[str, float]]:
+    """Dispatch per-task validation over an eval MultiTaskDataset
+    (reference validation branches, tools/finetune_tools.py:730-877).
+    Currently covers classification, retrieval and grounding tasks."""
+    from streamformer_tpu.data.collate import make_eval_augment
+    from streamformer_tpu.models.multitask import head_type_for_task
+
+    aug = make_eval_augment(crop_size)
+    results: Dict[str, Dict[str, float]] = {}
+    for ds in eval_union.datasets:
+        task = getattr(ds, "task_name", type(ds).__name__)
+        kind = head_type_for_task(task)
+
+        def batches():
+            n = len(ds)
+            for start in range(0, n, batch_size):
+                items = [ds[i] for i in range(start, min(start + batch_size, n))]
+                tis = [it["task_input"] for it in items]
+                px = aug(jnp.asarray(np.stack([ti["frames"] for ti in tis])))
+                yield px, tis
+
+        if kind == "classification":
+            gen = ((px, np.asarray([ti["label"] for ti in tis]), task)
+                   for px, tis in batches())
+            results[task] = validate_classification(model, params, gen)
+        elif kind == "retrieval":
+            gen = ((px, [ti["caption"] for ti in tis]) for px, tis in batches())
+            results[task] = validate_retrieval(model, params, gen)
+        elif kind == "grounding":
+            def ggen():
+                for px, tis in batches():
+                    ids = jnp.asarray(
+                        model.tokenize([ti["caption"] for ti in tis])
+                    )
+                    metas = [ti.get("meta", {"times": np.arange(px.shape[1]),
+                                             "gt": (0, 1)}) for ti in tis]
+                    yield px, ids, metas
+            results[task] = validate_grounding(model, params, ggen())
+        else:
+            continue
+    return results

@@ -495,6 +495,21 @@ def temporal_attention(
 
 
 @_precise
+def _maybe_shard_patches(x: jnp.ndarray, cfg: StreamformerConfig) -> jnp.ndarray:
+    """Sequence-parallel constraint: (B, T, N, D) with B over "data" and the
+    patch axis N over "model". Outside a mesh context this is a no-op."""
+    if not cfg.shard_patches:
+        return x
+    try:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, P("data", None, "model", None)
+        )
+    except (ValueError, RuntimeError):
+        return x
+
+
 def layer_forward(
     p: Params,
     x: jnp.ndarray,
@@ -518,6 +533,7 @@ def layer_forward(
     Returns (x, new_cache_kv) when streaming else x.
     """
     eps = cfg.layer_norm_eps
+    x = _maybe_shard_patches(x, cfg)
 
     def dp(y, key):
         if rng is None or deterministic or drop_path_rate == 0.0:

@@ -48,6 +48,8 @@ def get_args():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--save_ckpt_freq", type=int, default=10)
+    p.add_argument("--eval_freq", type=int, default=0,
+                   help="run validation every N epochs (0 = off)")
     # model policy flags
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_layers", type=int, default=12)
@@ -203,6 +205,20 @@ def main():
             args.output_dir, epoch, state.params, state.opt_state,
             step=int(state.step), keep_every=args.save_ckpt_freq,
         )
+        if args.eval_freq and eval_ds and (epoch + 1) % args.eval_freq == 0:
+            from streamformer_tpu.eval.validate import evaluate_multitask
+
+            ev = evaluate_multitask(
+                model, state.params, eval_ds, crop_size=args.input_size
+            )
+            flat = {
+                f"eval_{t}_{k}": float(v)
+                for t, m in ev.items()
+                for k, v in m.items()
+            }
+            print(f"epoch {epoch} eval:", flat)
+            metrics_lib.write_log_line(args.output_dir,
+                                       {"epoch": epoch, **flat})
     print("done")
 
 

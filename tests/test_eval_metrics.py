@@ -77,3 +77,31 @@ def test_merge_multiview():
     ]
     out = M.merge_multiview_logits(rows, 2)
     assert out["top1"] == 100.0
+
+
+def test_ytvis_rle_and_results(tmp_path):
+    from streamformer_tpu.eval import ytvis
+    from streamformer_tpu.data.seg_datasets import rle_to_mask
+
+    m = np.zeros((6, 5), bool)
+    m[2:4, 1:4] = True
+    rle = ytvis.mask_to_rle(m)
+    back = rle_to_mask(rle, 6, 5)
+    np.testing.assert_array_equal(back, m)
+
+    frames = [
+        {"track_ids": [0, 1], "category_ids": [3, 4], "scores": [0.9, 0.8],
+         "masks": np.stack([m, ~m])},
+        {"track_ids": [1], "category_ids": [4], "scores": [0.7],
+         "masks": np.stack([~m])},
+    ]
+    rows = ytvis.collect_video_result(7, frames)
+    assert len(rows) == 2
+    t1 = next(r for r in rows if r["category_id"] == 4)
+    assert t1["segmentations"][0] is not None and t1["segmentations"][1] is not None
+    t0 = next(r for r in rows if r["category_id"] == 3)
+    assert t0["segmentations"][1] is None  # absent in frame 2
+    import json, os
+    p = str(tmp_path / "results.json")
+    ytvis.write_results(rows, p)
+    assert len(json.load(open(p))) == 2

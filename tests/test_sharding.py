@@ -70,3 +70,27 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(8)
+
+
+def test_sequence_parallel_patch_axis(mesh, rng):
+    """SP: patch axis N sharded over "model" via activation constraints
+    (temporal attention is embarrassingly parallel over N, SURVEY §5.7);
+    numerics identical to single-device."""
+    from jax.sharding import NamedSharding
+
+    cfg_sp = CFG.replace(shard_patches=True, image_size=64)
+    cfg_ref = CFG.replace(image_size=64)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg_ref)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.5)
+    px = jnp.asarray(rng.standard_normal((4, 4, 3, 64, 64)).astype(np.float32))
+    ref = encoder.model_forward(params, px, cfg_ref)["pooler_output"]
+    sp_mesh = make_mesh(data=2, model=4)  # 16 patches over 4 shards
+    with jax.set_mesh(sp_mesh):
+        params_s = jax.device_put(params, NamedSharding(sp_mesh, P()))
+        px_s = jax.device_put(px, NamedSharding(sp_mesh, P("data")))
+        got = jax.jit(
+            lambda p, x: encoder.model_forward(p, x, cfg_sp)["pooler_output"]
+        )(params_s, px_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
