@@ -159,6 +159,9 @@ class MultitaskModel:
         return self._tokenizer
 
     def tokenize(self, texts: List[str], max_length: int = 64) -> np.ndarray:
+        # the reference always pads to 64 (tokenizer calls with
+        # max_length=64); clamp to the text tower's position table
+        max_length = min(max_length, self.text_cfg.max_position_embeddings)
         out = self.tokenizer(
             texts,
             padding="max_length",
