@@ -170,3 +170,55 @@ def test_non_square_input_resolution(torch_reference_models, rng):
     assert got.shape == refv.shape
     # upsampled pos-emb: kernels agree on upsample, keep 1e-2 guard
     np.testing.assert_allclose(got, refv, atol=1e-2, rtol=1e-2)
+
+
+def test_joint_space_time_parity(torch_reference_models, rng):
+    """joint_space_time layer variant
+    (modeling_timesformer_siglip.py:915-934)."""
+    import torch
+
+    model, _ = _build_torch_model(
+        torch_reference_models, attention_type="joint_space_time",
+        enable_causal_temporal=False,
+    )
+    cfg, params = _jax_setup(model, attention_type="joint_space_time",
+                             enable_causal_temporal=False)
+    b, t = 2, SMALL["num_frames"]
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(px))
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]), ref.last_hidden_state.numpy(),
+        atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_space_only_encoder_parity(torch_reference_models, rng):
+    """space_only parity at the ENCODER level: the reference embeds
+    space_only as (B*T, N, D) (modeling_timesformer_siglip.py:413-420, no
+    time packing) but its multitask wrapper then reshapes assuming the
+    n-major packed layout (:1332-1340), scrambling space_only outputs — a
+    reference quirk in an unused combination. We match the encoder, not the
+    scramble."""
+    import torch
+
+    model, _ = _build_torch_model(
+        torch_reference_models, attention_type="space_only",
+        enable_causal_temporal=False,
+    )
+    cfg, params = _jax_setup(model, attention_type="space_only",
+                             enable_causal_temporal=False)
+    b, t = 2, SMALL["num_frames"]
+    px = rng.standard_normal(
+        (b, t, 3, SMALL["image_size"], SMALL["image_size"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        emb = model.embeddings(torch.from_numpy(px))  # (B*T, N, D)
+        enc = model.encoder(emb, num_frames=t)[0]
+        ref = model.post_layernorm(enc).numpy()  # (B*T, N, D)
+    out = encoder.model_forward(params, jnp.asarray(px), cfg)
+    got = np.asarray(out["last_hidden_state"]).reshape(b * t, -1, cfg.hidden_size)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)

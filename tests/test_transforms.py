@@ -230,3 +230,36 @@ def test_sampler_same_task_sequence_across_ranks():
         return [task_of(next(i for i in b if i != PAD_INDEX)) for b in s]
 
     assert task_seq(0) == task_seq(3)  # all ranks agree on the task per step
+
+
+def test_sequential_and_balanced_samplers():
+    from streamformer_tpu.data.samplers import (
+        DistributedBatchTaskSequentialSampler,
+        DistributedBatchTaskBalancedSampler,
+    )
+
+    specs = _specs()
+    seq = DistributedBatchTaskSequentialSampler(specs, batch_size=4)
+    batches = list(seq)
+    # fixed declaration order: all Kinetics batches, then retrieval, then TAL
+    def task_of(idx):
+        for sp in specs:
+            if sp.offset <= idx < sp.offset + sp.length:
+                return sp.name
+
+    order = [task_of(next(i for i in b if i != PAD_INDEX)) for b in batches]
+    first_k = order.index("Kinetics")
+    first_r = order.index("TaskRetrieval")
+    first_t = order.index("THUMOS14")
+    assert first_k < first_r < first_t
+    assert order == sorted(order, key=["Kinetics", "TaskRetrieval",
+                                       "THUMOS14"].index)
+
+    bal = DistributedBatchTaskBalancedSampler(specs, batch_size=4,
+                                              update_freq=2)
+    bal_order = [
+        task_of(next(i for i in b if i != PAD_INDEX)) for b in bal
+    ]
+    # balanced: the first few batches interleave tasks rather than running
+    # one task to exhaustion
+    assert len(set(bal_order[:4])) >= 2
