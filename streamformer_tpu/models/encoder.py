@@ -184,7 +184,7 @@ def init_layer_params(rng, cfg: StreamformerConfig) -> Params:
 
 def init_params(rng, cfg: StreamformerConfig) -> Params:
     d = cfg.hidden_size
-    ks = jax.random.split(rng, cfg.num_hidden_layers + 6)
+    ks = jax.random.split(rng, cfg.num_hidden_layers + 8)
     params = {
         "embeddings": {
             # HWIO conv kernel for NHWC input (torch OIHW transposed on import)
@@ -203,15 +203,18 @@ def init_params(rng, cfg: StreamformerConfig) -> Params:
         "post_layernorm": _init_ln(d),
         "map_head": {
             # reference head.probe ~ randn (modeling_timesformer_siglip.py:1133)
-            "probe": jax.random.normal(ks[-4], (d,), jnp.float32),
-            "q": _init_dense(ks[-3], d, d),
-            "k": _init_dense(ks[-2], d, d),
-            "v": _init_dense(ks[-1], d, d),
-            "out": _init_dense(ks[-5], d, d),
+            # dedicated keys per tensor: reusing keys across q/fc1 etc. would
+            # correlate from-scratch init (harmless after SigLIP import, but
+            # wrong for scratch training)
+            "probe": jax.random.normal(ks[-7], (d,), jnp.float32),
+            "q": _init_dense(ks[-6], d, d),
+            "k": _init_dense(ks[-5], d, d),
+            "v": _init_dense(ks[-4], d, d),
+            "out": _init_dense(ks[-3], d, d),
             "layernorm": _init_ln(d),
             "mlp": {
-                "fc1": _init_dense(ks[-3], d, cfg.intermediate_size),
-                "fc2": _init_dense(ks[-2], cfg.intermediate_size, d),
+                "fc1": _init_dense(ks[-2], d, cfg.intermediate_size),
+                "fc2": _init_dense(ks[-1], cfg.intermediate_size, d),
             },
         },
     }
@@ -432,17 +435,53 @@ def temporal_attention(
     ck, cv = cache_kv  # (B, C, N, H, dh)
     cap = ck.shape[1]
     if cfg.cache_mode == "ring":
-        # wrap-around write: slot = absolute position mod capacity
+        # Sliding-window attention with wrap-around eviction. Queries attend
+        # to the PRE-write cache plus the in-chunk keys: writing all T new
+        # frames before attention would evict up to T-1 old keys still
+        # inside the earliest queries' windows (each query i's window is the
+        # cap positions ending at cache_len + i).
+        scores_old = jnp.einsum(
+            "bqnhd,bknhd->bnhqk", q, ck.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores_new = jnp.einsum(
+            "bqnhd,bknhd->bnhqk", q, k,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+        # slot s holds the newest absolute position p ≡ s (mod cap) with
+        # p < cache_len; unwritten slots give p < 0
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+        kpos_old = s_idx + cap * jnp.floor_divide(cache_len - 1 - s_idx, cap)
+        if causal:
+            ok_old = (kpos_old >= 0) & (kpos_old > qpos - cap)
+        else:
+            last = cache_len + t - 1
+            ok_old = (kpos_old >= 0) & (kpos_old > last - cap)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        ok_new = (jj <= ii) if causal else jnp.ones((t, t), bool)
+        scores = jnp.concatenate(
+            [
+                jnp.where(ok_old[None, None, None], scores_old, -jnp.inf),
+                jnp.where(ok_new[None, None, None], scores_new, -jnp.inf),
+            ],
+            axis=-1,
+        )
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        vals = jnp.concatenate([cv.astype(x.dtype), v], axis=1)
+        ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, vals).reshape(b, t, n, d)
+        # wrap-around write AFTER attention: slot = position mod capacity
         slots = (cache_len + jnp.arange(t)) % cap
         ck = ck.at[:, slots].set(k.astype(ck.dtype))
         cv = cv.at[:, slots].set(v.astype(cv.dtype))
-    else:
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0)
-        )
+        return dense(ctx, p["out"]), (ck, cv)
+    ck = jax.lax.dynamic_update_slice(
+        ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0)
+    )
     # capacity bucketing: attention reads only a static prefix of the cache
     # (callers pick the bucket >= cache_len + t host-side; one compiled
     # program per bucket). Cuts HBM traffic proportionally while the stream
@@ -469,19 +508,10 @@ def temporal_attention(
             preferred_element_type=jnp.float32,
         ) * scale
         qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
-        if cfg.cache_mode == "ring":
-            # slot s holds the newest absolute position p = s (mod cap) with
-            # p < total; unwritten slots give p < 0. The window constraint
-            # (p > total - 1 - cap) holds by construction.
-            total = cache_len + t
-            s_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
-            kpos = s_idx + cap * jnp.floor_divide(total - 1 - s_idx, cap)
-            mask = (kpos >= 0) & ((kpos <= qpos) if causal else (kpos < total))
-        else:
-            # query absolute position = cache_len + i; key position j valid
-            # iff j <= cache_len + i (causal) and j < cache_len + t (written)
-            kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
-            mask = kpos <= qpos if causal else kpos < (cache_len + t)
+        # query absolute position = cache_len + i; key position j valid
+        # iff j <= cache_len + i (causal) and j < cache_len + t (written)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+        mask = kpos <= qpos if causal else kpos < (cache_len + t)
         scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv_att.astype(x.dtype))

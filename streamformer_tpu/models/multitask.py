@@ -151,10 +151,21 @@ class MultitaskModel:
                 self._tokenizer = AutoTokenizer.from_pretrained(
                     name, local_files_only=True
                 )
-            except Exception:
-                # offline fallback: deterministic word-hash tokenizer so the
-                # framework stays runnable without HF hub access (real runs
-                # point STREAMFORMER_TOKENIZER at a local tokenizer dir)
+            except Exception as e:
+                # The word-hash stand-in produces scientifically meaningless
+                # label/caption embeddings — training on it silently would be
+                # a garbage run, so it must be opted into explicitly (tests
+                # and shape-only dry runs set the env var).
+                if os.environ.get("STREAMFORMER_ALLOW_HASH_TOKENIZER") != "1":
+                    raise RuntimeError(
+                        f"SigLIP tokenizer '{name}' is not available locally "
+                        f"({type(e).__name__}: {e}). Point the env var "
+                        "STREAMFORMER_TOKENIZER at a local tokenizer "
+                        "directory, or set "
+                        "STREAMFORMER_ALLOW_HASH_TOKENIZER=1 to use a "
+                        "deterministic hash tokenizer (tests/dry-runs only — "
+                        "NOT valid for real training)."
+                    ) from e
                 self._tokenizer = _HashTokenizer(self.text_cfg.vocab_size)
         return self._tokenizer
 

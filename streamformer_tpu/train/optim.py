@@ -23,8 +23,14 @@ import optax
 
 
 def weight_decay_mask(params) -> Any:
-    """True where weight decay applies (rank >= 2 kernels)."""
-    return jax.tree.map(lambda p: p.ndim >= 2, params)
+    """True where weight decay applies (rank >= 2 kernels).
+
+    Passed to optax as a *callable* so it is evaluated on the params tree the
+    transform actually sees — inside ``optax.multi_transform`` frozen leaves
+    become ``MaskedNode`` (no pytree children), and a precomputed full tree
+    would no longer match the structure.
+    """
+    return jax.tree.map(lambda p: getattr(p, "ndim", 0) >= 2, params)
 
 
 def _layer_id_of_path(path, num_layers: int) -> int:
@@ -53,6 +59,28 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
 
     def update(updates, state, params=None):
         return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def scale_by_layer_decay(num_layers: int, decay_rate: float) -> optax.GradientTransformation:
+    """LLRD computed lazily from each update leaf's *path*.
+
+    Unlike :func:`scale_by_tree` with a precomputed template tree, this
+    composes with ``optax.multi_transform``/``optax.masked``: frozen leaves
+    arrive as ``MaskedNode`` (zero pytree children) and are simply skipped by
+    the path-wise map instead of raising a structure mismatch.
+    """
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        def scale(path, u):
+            lid = _layer_id_of_path(path, num_layers)
+            return u * (decay_rate ** (num_layers + 1 - lid))
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
 
     return optax.GradientTransformation(init, update)
 
@@ -103,7 +131,8 @@ def create_optimizer(
     """AdamW (default, optim_factory.py:107) with decay masking, optional
     LLRD, grad clipping, and a trainable mask (frozen params get zero
     updates — the reference freezes via requires_grad)."""
-    mask = weight_decay_mask(params)
+    # callable: evaluated on the tree the transform sees (MaskedNode-safe)
+    mask = weight_decay_mask
 
     chain = []
     if clip_grad is not None:
@@ -127,8 +156,7 @@ def create_optimizer(
         chain.append(optax.add_decayed_weights(weight_decay, mask))
 
     if layer_decay is not None and layer_decay < 1.0:
-        scales = layer_decay_scales(params, num_layers, layer_decay)
-        chain.append(scale_by_tree(scales))
+        chain.append(scale_by_layer_decay(num_layers, layer_decay))
 
     chain.append(optax.inject_hyperparams(optax.scale_by_learning_rate)(lr_schedule))
 

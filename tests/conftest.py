@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# tests run hub-less: the deterministic hash tokenizer is fine for
+# shape/loss-math coverage (real training must fail loudly without the
+# SigLIP sentencepiece — multitask.MultitaskModel.tokenizer)
+os.environ.setdefault("STREAMFORMER_ALLOW_HASH_TOKENIZER", "1")
+
 if os.environ.get("STREAMFORMER_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax

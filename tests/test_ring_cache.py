@@ -81,6 +81,55 @@ def test_ring_attention_matches_windowed_reference(rng):
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("t_chunk", [2, 3])
+def test_ring_attention_multiframe_matches_windowed_reference(rng, t_chunk):
+    """T>1 appends after wraparound: every query in the chunk must see its
+    exact cap-length window (earlier queries must NOT lose old keys to the
+    chunk's own writes — regression for the write-before-attend bug)."""
+    cfg = StreamformerConfig(cache_capacity=4, cache_mode="ring", **BASE)
+    d, h = cfg.hidden_size, cfg.num_attention_heads
+    p = encoder.init_layer_params(jax.random.PRNGKey(1), cfg)[
+        "temporal_attention"
+    ]
+    b, n = 2, 3
+    cap = 4
+    ck = jnp.zeros((b, cap, n, h, cfg.head_dim))
+    cv = jnp.zeros((b, cap, n, h, cfg.head_dim))
+    k_hist, v_hist = [], []
+    pos = 0
+    for _ in range(4):  # enough chunks to wrap the ring multiple times
+        x = jnp.asarray(rng.standard_normal((b, t_chunk, n, d)).astype(np.float32))
+        out, (ck, cv) = encoder.temporal_attention(
+            x, p, cfg, causal=True, cache_kv=(ck, cv),
+            cache_len=jnp.asarray(pos, jnp.int32),
+        )
+        q, k, v = encoder._qkv_heads(x, p["qkv"], h)
+        for j in range(t_chunk):
+            k_hist.append(np.asarray(k[:, j : j + 1]))
+            v_hist.append(np.asarray(v[:, j : j + 1]))
+        # oracle: per query row i, softmax over its own window
+        for i in range(t_chunk):
+            qpos = pos + i
+            lo = max(0, qpos + 1 - cap)
+            ks = np.concatenate(k_hist[lo : qpos + 1], axis=1)
+            vs = np.concatenate(v_hist[lo : qpos + 1], axis=1)
+            qi = np.asarray(q[:, i : i + 1])
+            scores = np.einsum("bqnhd,bknhd->bnhqk", qi, ks) * (
+                cfg.head_dim**-0.5
+            )
+            probs = np.exp(scores - scores.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            ctx = np.einsum("bnhqk,bknhd->bqnhd", probs, vs).reshape(b, 1, n, d)
+            ref = ctx @ np.asarray(p["out"]["kernel"]) + np.asarray(
+                p["out"]["bias"]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[:, i : i + 1]), ref, atol=1e-4, rtol=1e-4,
+                err_msg=f"chunk at pos {pos}, query {i}",
+            )
+        pos += t_chunk
+
+
 def test_ring_streams_beyond_capacity_stay_finite(rng):
     cfg = StreamformerConfig(cache_capacity=4, cache_mode="ring", **BASE)
     params = encoder.init_params(jax.random.PRNGKey(0), cfg)

@@ -86,6 +86,37 @@ def test_layer_decay_scales(model):
     assert emb < l0 < l1 < head == 1.0
 
 
+def test_layer_decay_composes_with_trainable_mask(model):
+    """Regression: layer_decay + trainable_mask crashed at the first update
+    (precomputed scale tree vs MaskedNode leaves inside multi_transform)."""
+    lr = optim.cosine_lr_schedule(1e-3, 1e-6, epochs=1, steps_per_epoch=10)
+    trainable = optim.trainable_mask_frozen_text(model.params)
+    tx = optim.create_optimizer(
+        model.params, lr, weight_decay=0.01, clip_grad=1.0,
+        layer_decay=0.75, num_layers=CFG.num_hidden_layers,
+        trainable_mask=trainable,
+    )
+    state = tx.init(model.params)
+    grads = jax.tree.map(jnp.ones_like, model.params)
+    updates, state = tx.update(grads, state, model.params)
+    # frozen (text) leaves get exactly zero updates
+    assert all(
+        float(jnp.abs(u).max()) == 0.0
+        for u in jax.tree.leaves(updates["text"])
+    )
+    # LLRD ordering: |update| grows with depth (embeddings < layer0 < head)
+    emb = float(
+        jnp.abs(updates["backbone"]["embeddings"]["position_embeddings"]).max()
+    )
+    l0 = float(
+        jnp.abs(
+            updates["backbone"]["layers"][0]["attention"]["qkv"]["kernel"]
+        ).max()
+    )
+    probe = float(jnp.abs(updates["backbone"]["map_head"]["probe"]).max())
+    assert emb < l0 < probe
+
+
 def test_lr_schedule_warmup_and_decay():
     sched = optim.cosine_lr_schedule(1e-3, 1e-6, epochs=2, steps_per_epoch=50,
                                      warmup_epochs=1)
