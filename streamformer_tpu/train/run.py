@@ -63,6 +63,16 @@ def get_args():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--balance_datasets", action="store_true")
     p.add_argument("--remat", default="none", choices=["none", "layer"])
+    # parallelism (reference: torchrun DDP/DeepSpeed wrap point,
+    # run_finetuning_multi_task.py:398-433 -> jax.sharding mesh)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis; 0 = all devices / mp")
+    p.add_argument("--mp", type=int, default=1,
+                   help="model (tensor) parallel mesh axis")
+    p.add_argument("--shard_patches", action="store_true",
+                   help="sequence-parallel: shard the patch axis over mp")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from env")
     return p.parse_args()
 
 
@@ -82,6 +92,24 @@ def main():
     from streamformer_tpu.train import metrics as metrics_lib
     from streamformer_tpu.train import optim
     from streamformer_tpu.train.trainer import MultitaskTrainer, TrainState
+
+    if args.distributed:
+        # multi-host single-controller bootstrap (reference
+        # init_distributed_mode, utils.py:372-447 -> NCCL; here coordinator
+        # discovery comes from the standard JAX env vars / TPU metadata)
+        jax.distributed.initialize()
+
+    # device mesh (L0): data axis = DP/ZeRO + the contrastive ring,
+    # model axis = Megatron TP / patch (sequence) sharding
+    mesh = None
+    n_dev = len(jax.devices())
+    dp = args.dp if args.dp > 0 else max(n_dev // args.mp, 1)
+    if dp * args.mp > 1:
+        from streamformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=dp, model=args.mp)
+        print(f"mesh: data={dp} model={args.mp} over {n_dev} devices, "
+              f"{jax.process_count()} process(es)")
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "args.json"), "w") as f:
@@ -103,6 +131,7 @@ def main():
         add_lora_spatial=args.add_lora_spatial,
         dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
+        shard_patches=args.shard_patches and args.mp > 1,
     )
     from streamformer_tpu.models.text_encoder import SiglipTextConfig
 
@@ -120,13 +149,28 @@ def main():
         model.params["backbone"] = backbone
         print(f"loaded backbone from {args.model_path}")
     model.prepare_for_multi_tasks()
+    if mesh is not None:
+        # TP/replicated placement for params (ZeRO analog: the optimizer
+        # state initialized from these inherits the same shardings)
+        from streamformer_tpu.parallel import sharding as sh
 
-    # lr scaling rule (run_finetuning_multi_task.py:386-388)
-    total_bs = args.batch_size * args.update_freq
+        model.params = sh.shard_params(model.params, mesh)
+
+    # lr scaling rule (run_finetuning_multi_task.py:386-388): total batch
+    # includes the data-parallel world size, like the reference's
+    # batch_size * world_size * update_freq
+    total_bs = args.batch_size * args.update_freq * dp
     lr = optim.scale_lr(args.lr, total_bs, args.num_sample)
 
+    # single-controller: this process feeds the GLOBAL batch (batch_size is
+    # per data-parallel replica, as in the reference); under multi-host each
+    # process loads its disjoint stride of every batch
+    local_dp = max(dp // jax.process_count(), 1)
     sampler = DistributedBatchTaskUniqueSampler(
-        train_ds.task_specs(), batch_size=args.batch_size
+        train_ds.task_specs(),
+        batch_size=args.batch_size * local_dp,
+        num_replicas=jax.process_count(),
+        rank=jax.process_index(),
     )
     steps_per_epoch = max(len(sampler) // args.update_freq, 1)
     lr_sched = optim.cosine_lr_schedule(
@@ -159,7 +203,8 @@ def main():
         trainable_mask=trainable,
         opt_name=args.opt,
     )
-    trainer = MultitaskTrainer(model, tx, update_freq=args.update_freq)
+    trainer = MultitaskTrainer(model, tx, update_freq=args.update_freq,
+                               mesh=mesh)
     state = TrainState.create(model.params, tx)
 
     start_epoch = 0

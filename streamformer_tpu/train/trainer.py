@@ -78,12 +78,37 @@ class MultitaskTrainer:
         tx: optax.GradientTransformation,
         update_freq: int = 1,
         donate_state: bool = True,
+        mesh=None,  # jax.sharding.Mesh -> DP/TP sharded steps
     ):
         self.model = model
         self.tx = tx
         self.update_freq = update_freq
         self._step_fns: Dict[Tuple[str, bool], Callable] = {}
         self._donate = donate_state
+        self.mesh = mesh
+        if mesh is not None:
+            from streamformer_tpu.parallel import sharding as sh
+
+            self._batch_ns = sh.batch_sharding(mesh)
+            self._repl_ns = sh.replicated(mesh)
+
+    # ------------------------------------------------------------------
+
+    def shard_batch(self, batch):
+        """Place a host/global batch on the mesh: leaves whose leading dim is
+        the global batch size go over ``data``, everything else (label
+        tables, scalars) replicated. No-op without a mesh."""
+        if self.mesh is None:
+            return batch
+        gb = batch["pixel_values"].shape[0]
+
+        def place(x):
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return x
+            ns = self._batch_ns if x.shape[0] == gb else self._repl_ns
+            return jax.device_put(x, ns)
+
+        return jax.tree.map(place, batch)
 
     # ------------------------------------------------------------------
 
@@ -154,35 +179,62 @@ class MultitaskTrainer:
         print_freq: int = 10,
         lr_schedule=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
-        """batches yields (task_name, {"pixel_values": ..., "task_input": ...})."""
+        """batches yields (task_name, {"pixel_values": ..., "task_input": ...}).
+
+        Losses stay on device between ``print_freq`` boundaries: a per-step
+        host fetch (``float(loss)``) would serialize dispatch and kill
+        host/TPU overlap — exactly the dispatch-bound behavior this rebuild
+        avoids. Non-finite detection happens at each flush (reference exits
+        immediately, tools/finetune_tools.py:533-541 — same outcome, at most
+        print_freq steps later).
+        """
         logger = metrics_lib.MetricLogger()
         micro = 0
+        # host-side mirror of state.step (the device scalar is donated away
+        # every step, and fetching it would force a sync)
+        host_step = int(state.step)
+        pending = []  # [(task_name, loss_dev, grad_norm_dev|None, step_int)]
+
+        def flush():
+            for tname, loss_dev, gnorm_dev, step_i in pending:
+                loss = float(loss_dev)
+                if not math.isfinite(loss):
+                    raise NonFiniteLossError(
+                        f"Loss is {loss} on task {tname}, stopping training"
+                    )
+                logger.update(**{f"loss_{tname}": loss, "loss": loss})
+                if gnorm_dev is not None:
+                    logger.update(grad_norm=float(gnorm_dev))
+                if log_writer is not None:
+                    log_writer.set_step()
+                    log_writer.update(head="loss", **{tname: loss})
+                    if lr_schedule is not None:
+                        log_writer.update(
+                            head="opt", lr=float(lr_schedule(int(step_i)))
+                        )
+            pending.clear()
+
         for task_name, batch in logger.log_every(
             batches, print_freq, header=f"Epoch [{epoch}]"
         ):
             apply_update = (micro + 1) % self.update_freq == 0
             rng, sub = jax.random.split(rng)
             fn = self.step_fn(task_name, apply_update)
+            batch = self.shard_batch(batch)
             state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
-            loss = float(out["loss"])
-            if not math.isfinite(loss):
-                # reference: tools/finetune_tools.py:533-541 exits on
-                # non-finite loss
-                raise NonFiniteLossError(
-                    f"Loss is {loss} on task {task_name}, stopping training"
-                )
-            logger.update(**{f"loss_{task_name}": loss, "loss": loss})
             if apply_update:
-                logger.update(grad_norm=float(out["grad_norm"]))
-            if log_writer is not None:
-                log_writer.set_step()
-                log_writer.update(
-                    head="loss", **{task_name: loss}
+                host_step += 1
+            pending.append(
+                (
+                    task_name,
+                    out["loss"],
+                    out["grad_norm"] if apply_update else None,
+                    host_step,
                 )
-                if lr_schedule is not None:
-                    log_writer.update(
-                        head="opt", lr=float(lr_schedule(int(state.step)))
-                    )
+            )
             micro += 1
+            if micro % print_freq == 0:
+                flush()
+        flush()
         stats = {k: m.global_avg for k, m in logger.meters.items()}
         return state, stats

@@ -162,3 +162,59 @@ def test_video_reader_and_samplers(data_root):
 
     r = video_io.resample_to_fps(300, native_fps=30.0, target_fps=24.0)
     assert len(r) == 240
+
+
+def test_run_cli_end_to_end_on_mesh(data_root, tmp_path, monkeypatch):
+    """Drive the real training entry point (train/run.py main) over a
+    (data=4, model=2) mesh on the virtual CPU devices — the reference's
+    torchrun path (run_finetuning_multi_task.py:229-584) as one CLI."""
+    import sys
+    import yaml
+
+    from streamformer_tpu.train import run as run_mod
+
+    meta = {
+        "datasets": {
+            "Kinetics": {
+                "train": {
+                    "mode": "train",
+                    "data_path": data_root["cls"],
+                    "split": " ",
+                    "num_frames": 4,
+                    "short_side_size": 48,
+                }
+            },
+        }
+    }
+    meta_path = str(tmp_path / "meta.yaml")
+    with open(meta_path, "w") as f:
+        yaml.safe_dump(meta, f)
+    out_dir = str(tmp_path / "out")
+
+    argv = [
+        "run",
+        "--metadata", meta_path,
+        "--output_dir", out_dir,
+        "--batch_size", "1",
+        "--epochs", "1",
+        "--num_frames", "4",
+        "--input_size", "32",
+        "--hidden_size", "32",
+        "--num_layers", "1",
+        "--num_heads", "4",
+        "--intermediate_size", "64",
+        "--text_layers", "1",
+        "--lr", "1e-4",
+        "--warmup_epochs", "0",
+        "--num_workers", "2",
+        "--dp", "4",
+        "--mp", "2",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    run_mod.main()
+
+    # checkpoint written + log line emitted
+    assert any(p.startswith("checkpoint") for p in os.listdir(out_dir))
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line.get("loss", np.nan))

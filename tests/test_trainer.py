@@ -200,3 +200,56 @@ def test_checkpoint_roundtrip(model, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(p0), np.asarray(state.params["backbone"]["post_layernorm"]["scale"])
     )
+
+
+def test_mesh_trainer_matches_single_device(model, rng):
+    """VERDICT r1 #2: the production trainer on a (data, model) mesh must
+    reproduce single-device loss curves exactly (GSPMD sees the same global
+    batch; fp32 + highest matmul precision)."""
+    from streamformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    batches = [
+        ("Kinetics", _class_batch(rng, b=8)),
+        ("TaskRetrieval", {
+            "pixel_values": jnp.asarray(
+                rng.standard_normal((8, 4, 3, 32, 32)).astype(np.float32)
+            ),
+            "task_input": {
+                "caption_ids": jnp.asarray(
+                    rng.integers(0, 64, (8, 8)).astype(np.int32)
+                ),
+            },
+        }),
+        ("Kinetics", _class_batch(rng, b=8)),
+        ("Kinetics", _class_batch(rng, b=8)),
+    ]
+
+    def run(mesh_arg):
+        lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=4)
+        tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+        trainer = MultitaskTrainer(model, tx, update_freq=2, mesh=mesh_arg)
+        params = jax.tree.map(jnp.copy, model.params)
+        if mesh_arg is not None:
+            from streamformer_tpu.parallel import sharding as sh
+
+            params = sh.shard_params(params, mesh_arg)
+        state = TrainState.create(params, tx)
+        state, stats = trainer.train_one_epoch(
+            state, iter(list(batches)), 0, jax.random.PRNGKey(0)
+        )
+        return stats, jax.device_get(state.params)
+
+    stats_1, params_1 = run(None)
+    stats_m, params_m = run(mesh)
+    assert stats_1.keys() == stats_m.keys()
+    for k in stats_1:
+        np.testing.assert_allclose(stats_1[k], stats_m[k], rtol=1e-5,
+                                   err_msg=k)
+    # losses/grad norms agree to reduction-order noise (~1e-7 rel); params
+    # drift more because adam's g/sqrt(v) amplifies that noise where both
+    # are ~0 — bound it loosely as a sanity check
+    flat_1 = jax.tree.leaves(params_1)
+    flat_m = jax.tree.leaves(params_m)
+    for a, b in zip(flat_1, flat_m):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
