@@ -72,3 +72,27 @@ def encoder_flops(cfg, batch: int, frames: int) -> float:
 def mfu(cfg, batch: int, frames: int, seconds: float, peak_tflops: float = 197.0):
     """Model FLOPs utilization vs chip peak (v5e bf16 = 197 TFLOPS)."""
     return encoder_flops(cfg, batch, frames) / seconds / (peak_tflops * 1e12)
+
+
+def streaming_step_flops(cfg, batch: int, context: int, t_new: int = 1) -> float:
+    """Analytic FLOPs of one streaming encode step (t_new frames appended,
+    temporal attention over ``context`` cached+new positions).
+
+    Covers patchify, per-layer projections (temporal+spatial qkv/out,
+    temporal_dense, MLP), the two attention einsums, and the MAP pool head.
+    """
+    d, m, n, L = (
+        cfg.hidden_size,
+        cfg.intermediate_size,
+        cfg.num_patches,
+        cfg.num_hidden_layers,
+    )
+    tokens = batch * t_new * n
+    per_token_layer = 2 * d * (3 * d + d) * 2 + 2 * d * d + 2 * 2 * d * m
+    proj = tokens * per_token_layer * L
+    spatial_attn = 4 * batch * t_new * n * n * d * L
+    temporal_attn = 4 * batch * n * t_new * context * d * L
+    patchify = 2 * tokens * (cfg.patch_size**2 * cfg.num_channels) * d
+    # MAP head: k/v projections over n tokens, out proj, MLP, probe attention
+    map_head = batch * t_new * (2 * 2 * n * d * d + 2 * d * d + 4 * d * m + 4 * n * d)
+    return float(proj + spatial_attn + temporal_attn + patchify + map_head)
