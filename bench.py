@@ -158,6 +158,38 @@ def main():
     tflops = flops / dt / 1e12
     mfu = tflops / 197.0 if on_tpu else float("nan")  # v5e bf16 peak
 
+    # secondary: long-context streaming (512-frame window, batch 2) — where
+    # the fused decode kernel's O(valid-length) reads and in-kernel append
+    # dominate (the XLA einsum formulation measures ~9x slower here)
+    fps_512 = None
+    if on_tpu:
+        cfg512 = cfg.replace(cache_capacity=512)
+        b512 = 2
+        frame512 = frame[:b512]
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step512(params, frame, c):
+            c = {**c, "len": jnp.full((), 511, jnp.int32)}
+            out, c = encoder.streaming_forward(params, frame, c, cfg512)
+            return out["pooler_output"], c
+
+        c512 = encoder.init_cache(cfg512, batch=b512)
+        pooled, c512 = step512(params, frame512, c512)
+        _ = float(jnp.sum(pooled))
+
+        def timed512(k):
+            nonlocal c512
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, c512 = step512(params, frame512, c512)
+            _ = float(jnp.sum(pooled))
+            return time.perf_counter() - t0
+
+        t1 = min(timed512(3) for _ in range(reps))
+        t2 = min(timed512(23) for _ in range(reps))
+        fps_512 = b512 / ((t2 - t1) / 20)
+
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
     if (
@@ -181,6 +213,7 @@ def main():
         ),
         "torch_reference_host": "same-host CPU eager fp32 batch1" if torch_fps else None,
         "h100_fps_estimate": H100_REFERENCE_FPS_EST,
+        "fps_512f_context_batch2": round(fps_512, 2) if fps_512 else None,
     }
     print(json.dumps(result))
     print(

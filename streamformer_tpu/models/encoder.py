@@ -99,6 +99,23 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization over the head dim.
+
+    x: (..., dh) -> (int8 values (..., dh), float32 scales (...,)). Per-row
+    absmax scaling keeps attention-output cosine > 0.999 while halving the
+    KV cache's HBM footprint/traffic vs bf16 (the streaming decode is
+    bandwidth-bound — SURVEY §7 hard part 3)."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(ax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def act_fn(x: jnp.ndarray, name: str = "gelu") -> jnp.ndarray:
     """HF ACT2FN subset: "gelu" is the exact erf GELU (the reference default,
     configuration_streamformer.py:101), "gelu_pytorch_tanh"/"gelu_new" the
@@ -389,10 +406,10 @@ def temporal_attention(
     cfg: StreamformerConfig,
     *,
     causal: bool,
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cache_kv: Optional[Dict[str, jnp.ndarray]] = None,
     cache_len: Optional[jnp.ndarray] = None,
     attend_cap: Optional[int] = None,
-) -> jnp.ndarray | Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+) -> jnp.ndarray | Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Attention over frames T, batched over (B, N), with optional KV cache.
 
     x: (B, T, N, D).
@@ -401,10 +418,13 @@ def temporal_attention(
     (reference TimesformerCausalSelfAttention,
     modeling_timesformer_siglip.py:593-601).
 
-    Streaming (cache_kv=(k,v) of shape (B, C, N, H, dh), cache_len=int32):
-    the new frames' K/V are written at [cache_len, cache_len+T) and query row
-    i attends to absolute positions <= cache_len + i (reference streaming
-    mask, timesformer_encoder.py:522-546). Returns (out, new_cache_kv);
+    Streaming (cache_kv={"k","v"[,"k_scale","v_scale"]} with k/v of shape
+    (B, N, C, D) — patch-row-major so each row's temporal window is one
+    contiguous DMA — and per-(B,N,C,H) float32 scales when the cache dtype
+    is int8): the new frames' K/V are written at positions
+    [cache_len, cache_len+T) and query row i attends to absolute positions
+    <= cache_len + i (reference streaming mask,
+    timesformer_encoder.py:522-546). Returns (out, new_cache_kv);
     fixed-capacity C keeps shapes static for XLA.
     """
     b, t, n, d = x.shape
@@ -432,8 +452,56 @@ def temporal_attention(
             ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, v).reshape(b, t, n, d)
         return dense(ctx, p["out"])
 
-    ck, cv = cache_kv  # (B, C, N, H, dh)
-    cap = ck.shape[1]
+    cache = dict(cache_kv)
+    quantized = "k_scale" in cache
+    cap = cache["k"].shape[2]
+    dh = cfg.head_dim
+    # new-frame K/V in cache layout: (B, T, N, H, dh) -> (B, N, T, H, dh);
+    # the cache stores the flat-D form (B, N, C, D) — its physical TPU
+    # layout equals row-major (D = k*128 lanes), so the decode kernel's
+    # custom call takes it without a relayout copy (the 5-D (..., 12, 64)
+    # form gets tile-padded and cost ~0.5 ms/layer in relayouts)
+    k_c = k.transpose(0, 2, 1, 3, 4)
+    v_c = v.transpose(0, 2, 1, 3, 4)
+
+    def write(key, val, pos_slots=None):
+        """Write new rows ((B,N,T,H,dh)) into cache[key] (+ int8 quantize)."""
+        if quantized:
+            qv, s = quantize_kv(val)
+            qv = qv.reshape(b, n, t, d)
+            if pos_slots is None:
+                cache[key] = jax.lax.dynamic_update_slice(
+                    cache[key], qv, (0, 0, cache_len, 0)
+                )
+                cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
+                    cache[f"{key}_scale"], s, (0, 0, cache_len, 0)
+                )
+            else:
+                cache[key] = cache[key].at[:, :, pos_slots].set(qv)
+                cache[f"{key}_scale"] = cache[f"{key}_scale"].at[
+                    :, :, pos_slots
+                ].set(s)
+        else:
+            val = val.astype(cache[key].dtype).reshape(b, n, t, d)
+            if pos_slots is None:
+                cache[key] = jax.lax.dynamic_update_slice(
+                    cache[key], val, (0, 0, cache_len, 0)
+                )
+            else:
+                cache[key] = cache[key].at[:, :, pos_slots].set(val)
+
+    def full_kv(key, cap_limit=None):
+        """(B, N, C', H, dh) dequantized view for the einsum path."""
+        arr = cache[key]
+        sl = arr[:, :, :cap_limit] if cap_limit else arr
+        c_eff = sl.shape[2]
+        sl = sl.reshape(b, n, c_eff, h, dh)
+        if quantized:
+            sc = cache[f"{key}_scale"]
+            sc = sc[:, :, :cap_limit] if cap_limit else sc
+            return dequantize_kv(sl, sc, q.dtype)
+        return sl.astype(q.dtype)
+
     if cfg.cache_mode == "ring":
         # Sliding-window attention with wrap-around eviction. Queries attend
         # to the PRE-write cache plus the in-chunk keys: writing all T new
@@ -441,7 +509,7 @@ def temporal_attention(
         # inside the earliest queries' windows (each query i's window is the
         # cap positions ending at cache_len + i).
         scores_old = jnp.einsum(
-            "bqnhd,bknhd->bnhqk", q, ck.astype(q.dtype),
+            "bqnhd,bnkhd->bnhqk", q, full_kv("k"),
             preferred_element_type=jnp.float32,
         ) * scale
         scores_new = jnp.einsum(
@@ -469,54 +537,89 @@ def temporal_attention(
             axis=-1,
         )
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        vals = jnp.concatenate([cv.astype(x.dtype), v], axis=1)
+        vals = jnp.concatenate(
+            [full_kv("v").astype(x.dtype).transpose(0, 2, 1, 3, 4), v], axis=1
+        )
         ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, vals).reshape(b, t, n, d)
         # wrap-around write AFTER attention: slot = position mod capacity
         slots = (cache_len + jnp.arange(t)) % cap
-        ck = ck.at[:, slots].set(k.astype(ck.dtype))
-        cv = cv.at[:, slots].set(v.astype(cv.dtype))
-        return dense(ctx, p["out"]), (ck, cv)
-    ck = jax.lax.dynamic_update_slice(
-        ck, k.astype(ck.dtype), (0, cache_len, 0, 0, 0)
-    )
-    cv = jax.lax.dynamic_update_slice(
-        cv, v.astype(cv.dtype), (0, cache_len, 0, 0, 0)
-    )
+        write("k", k_c, pos_slots=slots)
+        write("v", v_c, pos_slots=slots)
+        return dense(ctx, p["out"]), cache
+
+    if (
+        _use_pallas(cfg)
+        and cfg.use_pallas_streaming
+        and t == 1
+        and causal
+        and not quantized
+        and cap % 8 == 0
+    ):
+        # Production decode path: the fused kernel appends the new frame's
+        # K/V in-kernel (caches aliased in/out — a host-graph
+        # dynamic_update_slice into the (B,N,C,D) layout makes XLA copy the
+        # whole cache around the custom call) and its block index clamp
+        # already bounds HBM reads to the valid prefix, so attend_cap
+        # bucketing is unnecessary here.
+        from streamformer_tpu.ops import attention as pops
+
+        ctx, k_out, v_out = pops.fused_temporal_decode_inplace(
+            q[:, 0].reshape(b * n, d),  # (R, D): (B,N,H,dh) is contiguous
+            k_c.astype(cache["k"].dtype).reshape(b * n, d),
+            v_c.astype(cache["v"].dtype).reshape(b * n, d),
+            cache["k"].reshape(b * n, cap, d),
+            cache["v"].reshape(b * n, cap, d),
+            cache_len,
+            num_heads=h,
+            out_dtype=x.dtype,
+        )
+        cache["k"] = k_out.reshape(b, n, cap, d)
+        cache["v"] = v_out.reshape(b, n, cap, d)
+        ctx = ctx.reshape(b, 1, n, d)
+        return dense(ctx, p["out"]), cache
+
+    write("k", k_c)
+    write("v", v_c)
     # capacity bucketing: attention reads only a static prefix of the cache
     # (callers pick the bucket >= cache_len + t host-side; one compiled
     # program per bucket). Cuts HBM traffic proportionally while the stream
     # is shorter than the full capacity.
-    ck_att, cv_att = ck, cv
+    att_cap = cap
     if attend_cap is not None and attend_cap < cap:
-        ck_att = ck[:, :attend_cap]
-        cv_att = cv[:, :attend_cap]
-        cap = attend_cap
-    if _use_pallas(cfg) and cfg.use_pallas_streaming:
+        att_cap = attend_cap
+    if _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal:
         from streamformer_tpu.ops import attention as pops
 
-        q_bnht = q.transpose(0, 2, 3, 1, 4)  # (B, N, H, T, dh)
-        ctx = pops.fused_temporal_streaming_attention(
-            q_bnht, ck_att.astype(q.dtype), cv_att.astype(q.dtype), cache_len,
-            causal=causal,
-        )
-        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, t, n, d)
+        # int8 path: cache updated by the host graph, kernel fuses dequant
+        ctx = pops.fused_temporal_decode(
+            q[:, 0].reshape(b * n, d),
+            cache["k"][:, :, :att_cap].reshape(b * n, att_cap, d),
+            cache["v"][:, :, :att_cap].reshape(b * n, att_cap, d),
+            cache["k_scale"][:, :, :att_cap].reshape(b * n, att_cap, h),
+            cache["v_scale"][:, :, :att_cap].reshape(b * n, att_cap, h),
+            cache_len,
+            num_heads=h,
+            out_dtype=x.dtype,
+        ).reshape(b, 1, n, d)
     else:
         scores = jnp.einsum(
-            "bqnhd,bknhd->bnhqk",
+            "bqnhd,bnkhd->bnhqk",
             q,
-            ck_att.astype(q.dtype),
+            full_kv("k", att_cap),
             preferred_element_type=jnp.float32,
         ) * scale
-        qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+        qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, att_cap), 0)
         # query absolute position = cache_len + i; key position j valid
         # iff j <= cache_len + i (causal) and j < cache_len + t (written)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (t, att_cap), 1)
         mask = kpos <= qpos if causal else kpos < (cache_len + t)
         scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, cv_att.astype(x.dtype))
+        ctx = jnp.einsum(
+            "bnhqk,bnkhd->bqnhd", probs, full_kv("v", att_cap).astype(x.dtype)
+        )
         ctx = ctx.reshape(b, t, n, d)
-    return dense(ctx, p["out"]), (ck, cv)
+    return dense(ctx, p["out"]), cache
 
 
 # --------------------------------------------------------------------------
@@ -729,7 +832,8 @@ def init_cache(
     capacity: Optional[int] = None,
     dtype=None,
 ) -> Params:
-    """Preallocated temporal KV cache: one (B, C, N, H, dh) pair per layer.
+    """Preallocated temporal KV cache: one (B, N, C, D) pair per layer
+    (+ per-(B, N, C, H) float32 scales when cache_dtype is int8).
 
     The reference grows an HF DynamicCache unboundedly
     (timesformer_encoder.py:517-518); here capacity is static so the cache is
@@ -738,16 +842,31 @@ def init_cache(
     """
     n = num_patches if num_patches is not None else cfg.num_patches
     cap = capacity if capacity is not None else cfg.cache_capacity
-    dt = dtype if dtype is not None else jnp.dtype(cfg.dtype)
-    shape = (batch, cap, n, cfg.num_attention_heads, cfg.head_dim)
+    # precedence: explicit dtype arg > cfg.cache_dtype > cfg.dtype
+    cache_dt = dtype if dtype is not None else (cfg.cache_dtype or cfg.dtype)
+    h = cfg.num_attention_heads
+    # patch-row-major flat-D layout (B, N, C, D): each row's temporal window
+    # is one contiguous DMA for the fused decode kernel (ops/attention.py),
+    # and D = k*128 lanes keeps the physical TPU layout identical to
+    # row-major so the kernel's custom call needs no relayout copy
+    shape = (batch, n, cap, cfg.hidden_size)
+
+    def layer():
+        if str(cache_dt) == "int8":
+            return {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
+                "v_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
+            }
+        dt = jnp.dtype(cache_dt)
+        return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
     # Per-layer leaves (not one stacked (L, ...) array): each leaf aliases its
     # donated input so the per-step HBM traffic is only the appended slice,
     # not a full-cache copy.
     return {
-        "layers": [
-            {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
-            for _ in range(cfg.num_hidden_layers)
-        ],
+        "layers": [layer() for _ in range(cfg.num_hidden_layers)],
         "len": jnp.zeros((), jnp.int32),
     }
 
@@ -786,15 +905,15 @@ def streaming_forward(
     )
     new_layers = []
     for i in range(cfg.num_hidden_layers):
-        x, (ck, cv) = layer_forward(
+        x, new_cache_i = layer_forward(
             params["layers"][i],
             x,
             cfg,
-            cache_kv=(cache["layers"][i]["k"], cache["layers"][i]["v"]),
+            cache_kv=cache["layers"][i],
             cache_len=cache_len,
             attend_cap=attend_capacity,
         )
-        new_layers.append({"k": ck, "v": cv})
+        new_layers.append(new_cache_i)
     x = layer_norm(x, params["post_layernorm"], cfg.layer_norm_eps)
     pooled = map_pool(x, params["map_head"], cfg)
     new_cache = {"layers": new_layers, "len": cache_len + t}

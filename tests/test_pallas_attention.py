@@ -19,7 +19,7 @@ def _interpret(monkeypatch):
     orig = pl.pallas_call
 
     def patched(*args, **kw):
-        kw.setdefault("interpret", True)
+        kw["interpret"] = True
         return orig(*args, **kw)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
@@ -57,32 +57,80 @@ def test_fused_spatial_grad_matches_reference(rng):
                                    rtol=1e-4)
 
 
-def test_fused_temporal_streaming_matches_reference(rng):
-    b, n, h, t, dh, c = 2, 28, 2, 1, 16, 8
-    cache_len = jnp.asarray(5, jnp.int32)
-    q = jnp.asarray(rng.standard_normal((b, n, h, t, dh)).astype(np.float32))
-    ck = jnp.asarray(rng.standard_normal((b, c, n, h, dh)).astype(np.float32))
-    cv = jnp.asarray(rng.standard_normal((b, c, n, h, dh)).astype(np.float32))
-
-    # reference expects (B, N, H, C, dh)
-    ck_r = jnp.transpose(ck, (0, 2, 3, 1, 4))
-    cv_r = jnp.transpose(cv, (0, 2, 3, 1, 4))
-    ref = A.temporal_streaming_reference(q, ck_r, cv_r, cache_len)
-    got = A.fused_temporal_streaming_attention(q, ck, cv, cache_len)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
-                               rtol=2e-5)
+def _decode_oracle(q, k, v, clen, h):
+    """Per-row multihead attention over positions <= clen (numpy)."""
+    r, c, d = k.shape
+    dh = d // h
+    qh = np.asarray(q).reshape(r, h, dh)
+    kh = np.asarray(k).reshape(r, c, h, dh)
+    vh = np.asarray(v).reshape(r, c, h, dh)
+    s = np.einsum("rhd,rchd->rhc", qh, kh) * dh**-0.5
+    s = np.where(np.arange(c)[None, None] <= clen, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("rhc,rchd->rhd", p, vh).reshape(r, d)
 
 
-def test_fused_temporal_multi_frame_append(rng):
-    """t_new > 1: appended chunk obeys the staircase mask."""
-    b, n, h, t, dh, c = 1, 14, 2, 3, 8, 12
-    cache_len = jnp.asarray(4, jnp.int32)
-    q = jnp.asarray(rng.standard_normal((b, n, h, t, dh)).astype(np.float32))
-    ck = jnp.asarray(rng.standard_normal((b, c, n, h, dh)).astype(np.float32))
-    cv = jnp.asarray(rng.standard_normal((b, c, n, h, dh)).astype(np.float32))
-    ck_r = jnp.transpose(ck, (0, 2, 3, 1, 4))
-    cv_r = jnp.transpose(cv, (0, 2, 3, 1, 4))
-    ref = A.temporal_streaming_reference(q, ck_r, cv_r, cache_len)
-    got = A.fused_temporal_streaming_attention(q, ck, cv, cache_len)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
-                               rtol=2e-5)
+@pytest.mark.parametrize("clen", [0, 5, 11])
+def test_fused_temporal_decode_matches_oracle(rng, clen):
+    r, c, h, dh = 56, 12, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    got = A.fused_temporal_decode(
+        q, k, v, None, None, jnp.asarray(clen, jnp.int32), num_heads=h
+    )
+    ref = _decode_oracle(q, k, v, clen, h)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_fused_temporal_decode_int8(rng):
+    """int8 KV cache: kernel == attention over the dequantized cache
+    exactly; quantization error vs full precision stays small."""
+    from streamformer_tpu.models.encoder import dequantize_kv, quantize_kv
+
+    r, c, h, dh = 28, 16, 4, 16
+    d = h * dh
+    clen = jnp.asarray(c - 1, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    ki, ks = quantize_kv(k.reshape(r, c, h, dh))
+    vi, vs = quantize_kv(v.reshape(r, c, h, dh))
+    got = A.fused_temporal_decode(
+        q, ki.reshape(r, c, d), vi.reshape(r, c, d), ks, vs, clen,
+        num_heads=h,
+    )
+    kd = dequantize_kv(ki, ks, jnp.float32).reshape(r, c, d)
+    vd = dequantize_kv(vi, vs, jnp.float32).reshape(r, c, d)
+    ref_deq = _decode_oracle(q, kd, vd, c - 1, h)
+    np.testing.assert_allclose(np.asarray(got), ref_deq, atol=2e-4, rtol=2e-4)
+    ref_full = _decode_oracle(q, k, v, c - 1, h)
+    g = np.asarray(got)
+    cos = (g * ref_full).sum() / np.sqrt((g**2).sum() * (ref_full**2).sum())
+    assert cos > 0.999, cos
+
+
+@pytest.mark.parametrize("clen", [0, 5, 7, 8, 31])
+def test_fused_temporal_decode_inplace(rng, clen):
+    """Production decode: in-kernel append + attend; caches aliased in/out.
+    Checks attention output AND the full cache contents after the write."""
+    r, c, h, dh = 56, 32, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((r, c, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    out, ko, vo = A.fused_temporal_decode_inplace(
+        q, kn, vn, kc, vc, jnp.asarray(clen, jnp.int32), num_heads=h
+    )
+    k_full = np.asarray(kc).copy()
+    k_full[:, clen] = kn
+    v_full = np.asarray(vc).copy()
+    v_full[:, clen] = vn
+    ref = _decode_oracle(q, jnp.asarray(k_full), jnp.asarray(v_full), clen, h)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ko), k_full)
+    np.testing.assert_array_equal(np.asarray(vo), v_full)

@@ -55,13 +55,13 @@ def test_ring_attention_matches_windowed_reference(rng):
     ]
     b, n = 2, 3
     cap = 4
-    ck = jnp.zeros((b, cap, n, h, cfg.head_dim))
-    cv = jnp.zeros((b, cap, n, h, cfg.head_dim))
+    cache = {"k": jnp.zeros((b, n, cap, h * cfg.head_dim)),
+             "v": jnp.zeros((b, n, cap, h * cfg.head_dim))}
     k_hist, v_hist = [], []
     for step in range(9):
         x = jnp.asarray(rng.standard_normal((b, 1, n, d)).astype(np.float32))
-        out, (ck, cv) = encoder.temporal_attention(
-            x, p, cfg, causal=True, cache_kv=(ck, cv),
+        out, cache = encoder.temporal_attention(
+            x, p, cfg, causal=True, cache_kv=cache,
             cache_len=jnp.asarray(step, jnp.int32),
         )
         q, k, v = encoder._qkv_heads(x, p["qkv"], h)
@@ -93,14 +93,14 @@ def test_ring_attention_multiframe_matches_windowed_reference(rng, t_chunk):
     ]
     b, n = 2, 3
     cap = 4
-    ck = jnp.zeros((b, cap, n, h, cfg.head_dim))
-    cv = jnp.zeros((b, cap, n, h, cfg.head_dim))
+    cache = {"k": jnp.zeros((b, n, cap, h * cfg.head_dim)),
+             "v": jnp.zeros((b, n, cap, h * cfg.head_dim))}
     k_hist, v_hist = [], []
     pos = 0
     for _ in range(4):  # enough chunks to wrap the ring multiple times
         x = jnp.asarray(rng.standard_normal((b, t_chunk, n, d)).astype(np.float32))
-        out, (ck, cv) = encoder.temporal_attention(
-            x, p, cfg, causal=True, cache_kv=(ck, cv),
+        out, cache = encoder.temporal_attention(
+            x, p, cfg, causal=True, cache_kv=cache,
             cache_len=jnp.asarray(pos, jnp.int32),
         )
         q, k, v = encoder._qkv_heads(x, p["qkv"], h)

@@ -97,10 +97,34 @@ def test_streaming_one_compiled_program():
 def test_cache_capacity_shapes_static():
     cache = encoder.init_cache(CFG, batch=3, capacity=32)
     assert len(cache["layers"]) == CFG.num_hidden_layers
+    # patch-row-major flat-D layout: (B, N, C, D) — each row's temporal
+    # window is one contiguous DMA for the fused decode kernel
     assert cache["layers"][0]["k"].shape == (
         3,
-        32,
         CFG.num_patches,
-        CFG.num_attention_heads,
-        CFG.head_dim,
+        32,
+        CFG.hidden_size,
     )
+
+
+def test_streaming_int8_cache_close_to_full_clip(rng):
+    """cache_dtype="int8": streaming outputs track the full-clip forward
+    within quantization noise (per-(row,pos,head) absmax int8)."""
+    cfg = CFG.replace(cache_dtype="int8")
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.7)
+    px = jnp.asarray(rng.standard_normal((2, 4, 3, 48, 48)).astype(np.float32))
+    full = encoder.model_forward(params, px, cfg)["pooler_output"]
+    cache = encoder.init_cache(cfg, batch=2)
+    assert cache["layers"][0]["k"].dtype == jnp.int8
+    outs = []
+    for t in range(4):
+        out, cache = encoder.streaming_forward(params, px[:, t : t + 1], cache, cfg)
+        outs.append(out["pooler_output"])
+    got = jnp.concatenate(outs, axis=1)
+    f = np.asarray(full, np.float32)
+    g = np.asarray(got, np.float32)
+    cos = (f * g).sum() / np.sqrt((f**2).sum() * (g**2).sum())
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(g, f, atol=0.05)
