@@ -140,8 +140,213 @@ class LlavaStreamModel:
 
 
 # ---------------------------------------------------------------------------
-# 3-stage training recipes (reference scripts/train/stage{1,2,3}*.sh)
+# jittable splice plan (fixed-shape variant of splice_multimodal_inputs)
 # ---------------------------------------------------------------------------
+
+
+def build_splice_plan(
+    input_ids: np.ndarray,  # (L,) with IMAGE_TOKEN_INDEX placeholders
+    num_image_tokens: int,
+    max_len: int,
+    labels: Optional[np.ndarray] = None,
+):
+    """Host-side plan for the <image> expansion so the embedding gather runs
+    inside jit (training needs the splice differentiable w.r.t. BOTH the
+    text embeddings and the projected vision tokens; the reference builds
+    the spliced tensor in python per step,
+    llava_arch.py prepare_inputs_labels_for_multimodal).
+
+    Returns dict of (max_len,) arrays: ``text_idx``/``img_idx`` gather
+    indices, ``use_img`` selector, ``attention_mask``, ``labels``.
+    """
+    text_idx = np.zeros(max_len, np.int32)
+    img_idx = np.zeros(max_len, np.int32)
+    use_img = np.zeros(max_len, bool)
+    mask = np.zeros(max_len, bool)
+    lab = np.full(max_len, -100, np.int64)
+    o = 0
+    for i, tok in enumerate(input_ids):
+        if tok == IMAGE_TOKEN_INDEX:
+            for j in range(num_image_tokens):
+                if o >= max_len:
+                    break
+                img_idx[o] = j
+                use_img[o] = True
+                mask[o] = True
+                o += 1
+        else:
+            if o >= max_len:
+                break
+            text_idx[o] = i
+            mask[o] = True
+            if labels is not None:
+                lab[o] = labels[i]
+            o += 1
+    return {
+        "text_idx": text_idx,
+        "img_idx": img_idx,
+        "use_img": use_img,
+        "attention_mask": mask,
+        "labels": lab,
+    }
+
+
+def apply_splice_plan(plan, text_embeds: jnp.ndarray, image_feats: jnp.ndarray):
+    """(B, L_text, D) text + (B, T_img, D) image -> (B, max_len, D) embeds.
+    ``plan`` holds batched (B, max_len) index arrays from build_splice_plan.
+    """
+    t_sel = jnp.take_along_axis(
+        text_embeds, plan["text_idx"][..., None].astype(jnp.int32), axis=1
+    )
+    i_sel = jnp.take_along_axis(
+        image_feats, plan["img_idx"][..., None].astype(jnp.int32), axis=1
+    )
+    return jnp.where(plan["use_img"][..., None], i_sel, t_sel)
+
+
+# ---------------------------------------------------------------------------
+# concrete end-to-end model: streaming tower -> projector -> in-repo LM
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LlavaQwenModel:
+    """Tower + projector + the in-repo decoder LM (models/language_model),
+    mirroring the reference LlavaQwen (llava/model/language_model/
+    llava_qwen.py + llava_arch.py)."""
+
+    tower: Any  # TimesformerVisionTower (streaming or full-clip)
+    lm_cfg: Any  # language_model.LMConfig
+    params: Params  # {"projector": ..., "lm": ...}
+    pool_vision: str = "frame_mean"
+
+    def encode_video(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        feats = self.tower.forward(pixel_values)  # (B, t_ctx, N, D)
+        b, t, n, d = feats.shape
+        if self.pool_vision == "frame_mean":
+            feats = feats.mean(axis=2)
+        else:
+            feats = feats.reshape(b, t * n, d)
+        return mm_projector(self.params["projector"], feats)
+
+    def forward(
+        self,
+        input_ids: np.ndarray,  # (L,) with IMAGE_TOKEN_INDEX
+        pixel_values: jnp.ndarray,  # (1, T, C, H, W)
+        labels: Optional[np.ndarray] = None,
+        max_len: int = 128,
+    ):
+        from streamformer_tpu.models import language_model as LM
+
+        img = self.encode_video(pixel_values)  # (1, T_img, lm_dim)
+        t_img = int(img.shape[1])
+        plan = build_splice_plan(input_ids, t_img, max_len, labels)
+        plan = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+        safe_ids = np.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
+        text = LM.embed_tokens(self.params["lm"], jnp.asarray(safe_ids))[None]
+        embeds = apply_splice_plan(plan, text, img)
+        out, _ = LM.forward(
+            self.params["lm"], embeds, self.lm_cfg,
+            attention_mask=plan["attention_mask"].astype(jnp.int32),
+        )
+        loss = None
+        if labels is not None:
+            lab = jnp.where(plan["attention_mask"], plan["labels"], -100)
+            loss = LM.lm_loss(out["logits"], lab)
+        return out["logits"], loss
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (L,) prompt with IMAGE_TOKEN_INDEX
+        pixel_values: Optional[jnp.ndarray],  # None = reuse tower cache only
+        max_new_tokens: int = 16,
+        eos_token_id: Optional[int] = None,
+    ) -> np.ndarray:
+        """Greedy answer generation (reference model.generate(images=...)
+        path, test_kvcache.py:55-88). When ``pixel_values`` is given the
+        tower consumes the new frames first (appending to its stream)."""
+        from streamformer_tpu.models import language_model as LM
+
+        img = self.encode_video(pixel_values)
+        t_img = int(img.shape[1])
+        # exact-length prompt: L_text - n_placeholders + t_img
+        n_ph = int((input_ids == IMAGE_TOKEN_INDEX).sum())
+        plen = len(input_ids) - n_ph + n_ph * t_img
+        plan = build_splice_plan(input_ids, t_img, plen)
+        plan = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+        safe_ids = np.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
+        text = LM.embed_tokens(self.params["lm"], jnp.asarray(safe_ids))[None]
+        embeds = apply_splice_plan(plan, text, img)
+        return LM.greedy_generate(
+            self.params["lm"], self.lm_cfg, embeds,
+            max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+            capacity=plen + max_new_tokens,
+        )
+
+
+# ---------------------------------------------------------------------------
+# stage-wise trainer (reference llava/train/train.py + stage scripts)
+# ---------------------------------------------------------------------------
+
+
+def make_videoqa_train_step(tower_cfg, lm_cfg, stage: int,
+                            clip_grad: float = 1.0):
+    """Jittable stage-wise training step over params
+    ``{"tower", "projector", "lm"}`` with the reference's per-part
+    trainability and learning rates (stage_policy). Returns (tx, step_fn);
+    batches carry ``pixel_values``, ``text_ids`` (image tokens replaced by
+    0), splice-plan arrays, ``attention_mask`` and ``labels``."""
+    import optax
+
+    from streamformer_tpu.models import encoder as enc
+    from streamformer_tpu.models import language_model as LM
+
+    pol = stage_policy(stage)
+    name_of = {"tower": "vision_tower", "projector": "projector", "lm": "lm"}
+
+    def label_tree(params):
+        return {
+            part: jax.tree.map(
+                lambda _: part if name_of[part] in pol["train"] else "freeze",
+                sub,
+            )
+            for part, sub in params.items()
+        }
+
+    transforms = {
+        part: optax.chain(
+            optax.clip_by_global_norm(clip_grad),
+            optax.adamw(pol["lr"][name_of[part]]),
+        )
+        for part in ("tower", "projector", "lm")
+        if name_of[part] in pol["train"]
+    }
+    transforms["freeze"] = optax.set_to_zero()
+    tx = optax.multi_transform(transforms, label_tree)
+
+    def loss_fn(params, batch):
+        feats = enc.model_forward(
+            params["tower"], batch["pixel_values"], tower_cfg
+        )["last_hidden_state"]
+        feats = feats.mean(axis=2)  # (B, T, D) per-frame tokens
+        img = mm_projector(params["projector"], feats)
+        text = LM.embed_tokens(params["lm"], batch["text_ids"])
+        embeds = apply_splice_plan(batch, text, img)
+        out, _ = LM.forward(
+            params["lm"], embeds, lm_cfg,
+            attention_mask=batch["attention_mask"].astype(jnp.int32),
+        )
+        lab = jnp.where(batch["attention_mask"], batch["labels"], -100)
+        return LM.lm_loss(out["logits"], lab)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return tx, step
 
 
 def stage_policy(stage: int) -> Dict[str, Any]:

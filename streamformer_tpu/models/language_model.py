@@ -1,0 +1,333 @@
+"""Decoder-only language model (Qwen2/Llama family) for the VideoQA suite.
+
+The reference's VideoQA fork terminates in an LLM — vendored, patched
+Llama/Qwen2.5 (downstream/VideoQA/llava/model/language_model/*,
+modeling_llama.py 1,649 LoC). This is the TPU-native equivalent: one
+functional decoder implementation covering both families —
+
+* RMSNorm, rotary position embeddings, grouped-query attention
+  (num_key_value_heads <= num_attention_heads), SwiGLU MLP;
+* Qwen2 = attention_bias on q/k/v, Llama = no biases (``attention_bias``);
+* optional tied lm_head (tie_word_embeddings);
+* fixed-capacity KV cache for autoregressive decoding (same static-shape
+  design as the video encoder cache: one compiled step program, donated
+  buffers — the reference grows an HF DynamicCache).
+
+Weight import from HF checkpoints: :func:`convert_hf_state_dict` maps
+``model.layers.N.self_attn.q_proj.weight``-style names (Qwen2/Llama) onto
+this tree; parity vs ``transformers`` is tested in tests/test_language_model.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 28
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    attention_bias: bool = True  # Qwen2; Llama uses False
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def _norm_init(rng, shape, std=0.02):
+    return std * jax.random.normal(rng, shape, jnp.float32)
+
+
+def init_params(rng, cfg: LMConfig) -> Params:
+    d, m = cfg.hidden_size, cfg.intermediate_size
+    dh = cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    ks = jax.random.split(rng, cfg.num_hidden_layers + 3)
+
+    def dense(k, i, o, bias):
+        p = {"kernel": _norm_init(k, (i, o))}
+        if bias:
+            p["bias"] = jnp.zeros((o,), jnp.float32)
+        return p
+
+    def layer(k):
+        k = jax.random.split(k, 7)
+        return {
+            "input_layernorm": jnp.ones((d,), jnp.float32),
+            "post_attention_layernorm": jnp.ones((d,), jnp.float32),
+            "attn": {
+                "q": dense(k[0], d, hq * dh, cfg.attention_bias),
+                "k": dense(k[1], d, hkv * dh, cfg.attention_bias),
+                "v": dense(k[2], d, hkv * dh, cfg.attention_bias),
+                "o": dense(k[3], hq * dh, d, False),
+            },
+            "mlp": {
+                "gate": dense(k[4], d, m, False),
+                "up": dense(k[5], d, m, False),
+                "down": dense(k[6], m, d, False),
+            },
+        }
+
+    p = {
+        "embed_tokens": _norm_init(ks[0], (cfg.vocab_size, d)),
+        "layers": [layer(ks[1 + i]) for i in range(cfg.num_hidden_layers)],
+        "norm": jnp.ones((d,), jnp.float32),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = _norm_init(ks[-1], (d, cfg.vocab_size))
+    return p
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    x32 = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * w).astype(dt)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """HF-convention rotary embedding: x (B, L, H, dh), positions (B, L).
+    Matches transformers' rotate_half formulation (non-interleaved)."""
+    dh = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    ang = positions[..., None].astype(jnp.float32) * inv  # (B, L, dh/2)
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2 :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _dense(x, p):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def init_cache(cfg: LMConfig, batch: int, capacity: int) -> Params:
+    dt = jnp.dtype(cfg.dtype)
+    shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    return {
+        "layers": [
+            {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+        "len": jnp.zeros((), jnp.int32),
+    }
+
+
+def forward(
+    params: Params,
+    inputs_embeds: jnp.ndarray,  # (B, L, D)
+    cfg: LMConfig,
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, L_total) 1 = valid
+    cache: Optional[Params] = None,
+) -> Tuple[Dict[str, jnp.ndarray], Optional[Params]]:
+    """Causal decoder forward. With ``cache``, the L new positions append at
+    ``cache["len"]`` and ``attention_mask`` (if given) covers cached+new.
+    Returns ({"logits", "last_hidden_state"}, new_cache)."""
+    b, l, d = inputs_embeds.shape
+    dt = jnp.dtype(cfg.dtype)
+    x = inputs_embeds.astype(dt)
+    hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rep = hq // hkv
+    start = cache["len"] if cache is not None else jnp.zeros((), jnp.int32)
+    positions = start + jnp.arange(l)[None]  # (1, L) broadcast over batch
+    positions = jnp.broadcast_to(positions, (b, l))
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = _dense(h, lp["attn"]["q"]).reshape(b, l, hq, dh)
+        k = _dense(h, lp["attn"]["k"]).reshape(b, l, hkv, dh)
+        v = _dense(h, lp["attn"]["v"]).reshape(b, l, hkv, dh)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            ck = jax.lax.dynamic_update_slice(
+                cache["layers"][i]["k"], k.astype(dt), (0, start, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["layers"][i]["v"], v.astype(dt), (0, start, 0, 0)
+            )
+            new_layers.append({"k": ck, "v": cv})
+            k_att, v_att = ck, cv
+            kl = ck.shape[1]
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 1)
+            qpos = start + jax.lax.broadcasted_iota(jnp.int32, (l, kl), 0)
+            mask = kpos <= qpos  # causal + only-written (kpos >= start+l > qpos masked)
+        else:
+            k_att, v_att = k, v
+            kl = l
+            mask = jnp.tril(jnp.ones((l, l), bool))
+        if attention_mask is not None:
+            pad = attention_mask[:, :kl].astype(bool)  # (B, kl)
+            full_mask = mask[None] & pad[:, None, :]
+        else:
+            full_mask = jnp.broadcast_to(mask[None], (b, l, kl))
+
+        kr = jnp.repeat(k_att, rep, axis=2)  # (B, kl, Hq, dh)
+        vr = jnp.repeat(v_att, rep, axis=2)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kr.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * (dh**-0.5)
+        scores = jnp.where(full_mask[:, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vr.astype(dt))
+        x = x + _dense(ctx.reshape(b, l, hq * dh), lp["attn"]["o"])
+
+        h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(_dense(h, lp["mlp"]["gate"]))
+        x = x + _dense(gate * _dense(h, lp["mlp"]["up"]), lp["mlp"]["down"])
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = (
+        params["embed_tokens"].T
+        if cfg.tie_word_embeddings
+        else params["lm_head"]
+    )
+    logits = (x @ head.astype(dt)).astype(jnp.float32)
+    new_cache = None
+    if cache is not None:
+        new_cache = {"layers": new_layers, "len": start + l}
+    return {"logits": logits, "last_hidden_state": x}, new_cache
+
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed_tokens"], ids, axis=0)
+
+
+def lm_loss(
+    logits: jnp.ndarray,  # (B, L, V)
+    labels: jnp.ndarray,  # (B, L), -100 = ignore
+) -> jnp.ndarray:
+    """Next-token CE with ignore_index=-100 (HF Trainer semantics)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * valid)
+    return total / jnp.maximum(jnp.sum(valid), 1)
+
+
+def greedy_generate(
+    params: Params,
+    cfg: LMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, L, D) prompt embeddings
+    max_new_tokens: int,
+    attention_mask: Optional[jnp.ndarray] = None,
+    eos_token_id: Optional[int] = None,
+    capacity: Optional[int] = None,
+) -> np.ndarray:
+    """Greedy decoding with the fixed-capacity KV cache. Returns
+    (B, <=max_new_tokens) int32 token ids (cut at EOS host-side)."""
+    b, l, d = inputs_embeds.shape
+    cap = capacity or (l + max_new_tokens)
+    cache = init_cache(cfg, b, cap)
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, l), jnp.int32)
+    am = jnp.zeros((b, cap), jnp.int32)
+    am = jax.lax.dynamic_update_slice(am, attention_mask.astype(jnp.int32), (0, 0))
+
+    out, cache = forward(params, inputs_embeds, cfg,
+                         attention_mask=am, cache=cache)
+    # next-token from the last VALID prompt position per row
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    tok = jnp.argmax(
+        jnp.take_along_axis(
+            out["logits"], last_idx[:, None, None], axis=1
+        )[:, 0],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    toks = [np.asarray(tok)]
+    for step in range(1, max_new_tokens):
+        pos = cache["len"]
+        am = jax.lax.dynamic_update_slice(
+            am, jnp.ones((b, 1), jnp.int32), (0, pos)
+        )
+        emb = embed_tokens(params, tok)[:, None]
+        out, cache = forward(params, emb, cfg, attention_mask=am, cache=cache)
+        tok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+        toks.append(np.asarray(tok))
+        if eos_token_id is not None and bool(np.all(toks[-1] == eos_token_id)):
+            break
+    return np.stack(toks, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# HF weight import (Qwen2 / Llama name mapping)
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: LMConfig) -> Params:
+    """Map an HF Qwen2/Llama state dict (numpy arrays) onto this tree.
+    torch Linear weights are (out, in) -> transposed to (in, out) kernels."""
+
+    def t(name):
+        return np.ascontiguousarray(np.asarray(sd[name]).T)
+
+    def a(name):
+        return np.asarray(sd[name])
+
+    def dense(prefix, bias):
+        p = {"kernel": t(prefix + ".weight")}
+        if bias and prefix + ".bias" in sd:
+            p["bias"] = a(prefix + ".bias")
+        return p
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        layers.append(
+            {
+                "input_layernorm": a(f"{pre}.input_layernorm.weight"),
+                "post_attention_layernorm": a(
+                    f"{pre}.post_attention_layernorm.weight"
+                ),
+                "attn": {
+                    "q": dense(f"{pre}.self_attn.q_proj", cfg.attention_bias),
+                    "k": dense(f"{pre}.self_attn.k_proj", cfg.attention_bias),
+                    "v": dense(f"{pre}.self_attn.v_proj", cfg.attention_bias),
+                    "o": dense(f"{pre}.self_attn.o_proj", False),
+                },
+                "mlp": {
+                    "gate": dense(f"{pre}.mlp.gate_proj", False),
+                    "up": dense(f"{pre}.mlp.up_proj", False),
+                    "down": dense(f"{pre}.mlp.down_proj", False),
+                },
+            }
+        )
+    p = {
+        "embed_tokens": a("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": a("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = t("lm_head.weight")
+    return jax.tree.map(jnp.asarray, p)

@@ -73,3 +73,101 @@ def test_stage_policies():
     assert VQ.stage_policy(1)["train"] == {"projector"}
     assert "vision_tower" in VQ.stage_policy(3)["train"]
     assert VQ.stage_policy(3)["lr"]["vision_tower"] == 2e-6
+
+
+def _small_lm():
+    from streamformer_tpu.models import language_model as LM
+
+    cfg = LM.LMConfig(
+        vocab_size=VOCAB, hidden_size=LM_DIM, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        tie_word_embeddings=True,
+    )
+    return cfg, LM.init_params(jax.random.PRNGKey(7), cfg)
+
+
+def test_llava_full_path_streaming_generation_contract(rng):
+    """The test_kvcache.py contract through the FULL LLaVA path (tower ->
+    projector -> LM): the greedy answer from frames 8..15 with the tower's
+    cache of 0..7 must equal the answer from a fresh full 0..15 encode
+    (reference downstream/VideoQA/test_kvcache.py:55-88, '#3 should be the
+    same as #2')."""
+    cfg = CFG.replace(cache_capacity=16, context_length=16)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.7)
+    lm_cfg, lm_params = _small_lm()
+    proj = VQ.init_mm_projector(jax.random.PRNGKey(1), CFG.hidden_size, LM_DIM)
+    tower = TimesformerVisionTower(cfg, params)
+    model = VQ.LlavaQwenModel(
+        tower=tower, lm_cfg=lm_cfg,
+        params={"projector": proj, "lm": lm_params},
+    )
+
+    video = jnp.asarray(
+        rng.standard_normal((1, 16, 3, 32, 32)).astype(np.float32)
+    )
+    prompt = np.array([3, VQ.IMAGE_TOKEN_INDEX, 9, 12])
+
+    # 1) feed frames 0..7, generate (uses context of 8 frames)
+    a1 = model.generate(prompt, video[:, :8], max_new_tokens=5)
+    # 2) continue the stream with frames 8..15 (cache carries 0..7)
+    a2 = model.generate(prompt, video[:, 8:], max_new_tokens=5)
+    # 3) fresh encode of the full clip
+    tower.clear_cache()
+    a3 = model.generate(prompt, video, max_new_tokens=5)
+    np.testing.assert_array_equal(a2, a3)
+    assert a1.shape == (1, 5)
+
+
+def test_videoqa_three_stage_training(rng):
+    """Stage-wise trainer: stage 1 updates only the projector; stage 3 also
+    moves the tower (at its low lr) and the LM; losses stay finite and
+    decrease over a few steps."""
+    lm_cfg, lm_params = _small_lm()
+    tower_params = encoder.init_params(jax.random.PRNGKey(2), CFG)
+    proj = VQ.init_mm_projector(jax.random.PRNGKey(3), CFG.hidden_size, LM_DIM)
+    params = {"tower": tower_params, "projector": proj, "lm": lm_params}
+
+    # batch: one sample, prompt "q <image> a a" -> labels on the answer
+    ids = np.array([3, VQ.IMAGE_TOKEN_INDEX, 9, 12])
+    labels = np.array([-100, -100, 9, 12])
+    t_img = CFG.num_frames
+    plan = VQ.build_splice_plan(ids, t_img, max_len=12, labels=labels)
+    batch = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+    batch["text_ids"] = jnp.asarray(
+        np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
+    )[None]
+    batch["pixel_values"] = jnp.asarray(
+        rng.standard_normal((1, 4, 3, 32, 32)).astype(np.float32)
+    )
+
+    for stage in (1, 3):
+        tx, step = VQ.make_videoqa_train_step(CFG, lm_cfg, stage)
+        p = jax.tree.map(jnp.copy, params)
+        opt_state = tx.init(p)
+        losses = []
+        for _ in range(4):
+            p, opt_state, loss = step(p, opt_state, batch)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], (stage, losses)
+        proj_moved = float(
+            jnp.abs(p["projector"]["fc1"]["kernel"]
+                    - params["projector"]["fc1"]["kernel"]).max()
+        )
+        tower_moved = float(
+            jnp.abs(
+                p["tower"]["embeddings"]["patch_proj"]["kernel"]
+                - params["tower"]["embeddings"]["patch_proj"]["kernel"]
+            ).max()
+        )
+        lm_moved = float(
+            jnp.abs(p["lm"]["embed_tokens"] - params["lm"]["embed_tokens"]).max()
+        )
+        assert proj_moved > 0
+        if stage == 1:
+            assert tower_moved == 0 and lm_moved == 0
+        else:
+            assert tower_moved > 0 and lm_moved > 0
