@@ -105,3 +105,111 @@ def test_ytvis_rle_and_results(tmp_path):
     p = str(tmp_path / "results.json")
     ytvis.write_results(rows, p)
     assert len(json.load(open(p))) == 2
+
+
+# ---------------------------------------------------------------------------
+# YTVIS AP (eval/ytvis.py evaluate_ytvis vs hand-computed values)
+# ---------------------------------------------------------------------------
+
+
+def _track(video, cat, masks, score=None, tid=0):
+    from streamformer_tpu.eval import ytvis
+
+    row = {
+        "video_id": video,
+        "category_id": cat,
+        "segmentations": [
+            ytvis.mask_to_rle(m) if m is not None else None for m in masks
+        ],
+    }
+    if score is not None:
+        row["score"] = score
+    else:
+        row["id"] = tid
+    return row
+
+
+def _box_mask(h, w, x0, x1):
+    m = np.zeros((h, w), bool)
+    m[:, x0:x1] = True
+    return m
+
+
+def test_ytvis_rle_roundtrip():
+    from streamformer_tpu.eval import ytvis
+
+    rng = np.random.default_rng(0)
+    m = rng.random((13, 17)) > 0.6
+    np.testing.assert_array_equal(ytvis.rle_to_mask(ytvis.mask_to_rle(m)), m)
+
+
+def test_ytvis_track_iou_temporal():
+    from streamformer_tpu.eval import ytvis
+
+    a = [_box_mask(4, 10, 0, 5), _box_mask(4, 10, 0, 5)]
+    b = [_box_mask(4, 10, 0, 5), None]  # absent frame counts as empty
+    iou = ytvis.track_iou(a, b)
+    np.testing.assert_allclose(iou, 20 / 40)
+
+
+def test_ytvis_ap_perfect_and_partial():
+    from streamformer_tpu.eval import ytvis
+
+    g = _box_mask(10, 10, 0, 5)
+    gts = [
+        _track(1, 1, [g, g], tid=1),
+        _track(2, 1, [g, g], tid=2),
+    ]
+    # perfect predictions -> AP 1.0
+    preds = [
+        _track(1, 1, [g, g], score=0.9),
+        _track(2, 1, [g, g], score=0.8),
+    ]
+    r = ytvis.evaluate_ytvis(preds, gts)
+    assert r["AP"] == 1.0 and r["AP50"] == 1.0 and r["AR@1"] == 1.0
+
+    # one det at IoU exactly 0.6 (overlap 3 of 5 cols in both frames ->
+    # IoU = 3/7 ≈ 0.43? no: det covers cols 2..7 (5 wide), gt 0..5:
+    # inter cols 2..5 = 3, union = 7 -> 3/7) — craft IoU 0.6: det cols 0..6
+    # inter 5, union 7? 5/7=0.714 -> matches at thr .5,.55,.6,.65,.7 (5/10)
+    d = _box_mask(10, 10, 0, 7)
+    preds = [
+        _track(1, 1, [d, d], score=0.9),
+        _track(2, 1, [g, g], score=0.8),
+    ]
+    r = ytvis.evaluate_ytvis(preds, gts)
+    # video 1 det matches at 5 of 10 thresholds; video 2 always.
+    # per-threshold AP: thr<=0.7: both matched -> 1.0;
+    # thr>0.7: det1 is a higher-scored FP -> precision at recall 0.5 is 1/2
+    # -> AP = mean_rec(prec) with recall max 0.5: 51 points at 0.5 of 101
+    exp_hi = (51 * 0.5) / 101
+    exp = (5 * 1.0 + 5 * exp_hi) / 10
+    np.testing.assert_allclose(r["AP"], exp, atol=1e-6)
+    assert r["AP50"] == 1.0
+
+
+def test_ytvis_ap_end_to_end_from_tracker_output():
+    """Close the loop: per-frame tracker-style outputs -> collect_video_result
+    -> evaluate_ytvis on a synthetic mini-YTVIS fixture."""
+    from streamformer_tpu.eval import ytvis
+
+    g1 = _box_mask(8, 12, 0, 6)
+    g2 = _box_mask(8, 12, 6, 12)
+    frame_outputs = [
+        {
+            "track_ids": [0, 1],
+            "category_ids": [1, 2],
+            "scores": [0.9, 0.8],
+            "masks": np.stack([g1, g2]),
+        }
+        for _ in range(3)
+    ]
+    rows = ytvis.collect_video_result(7, frame_outputs)
+    assert len(rows) == 2
+    gts = [
+        _track(7, 1, [g1] * 3, tid=1),
+        _track(7, 2, [g2] * 3, tid=2),
+    ]
+    r = ytvis.evaluate_ytvis(rows, gts)
+    assert r["AP"] == 1.0
+    assert set(r["per_class"]) == {1, 2}
