@@ -75,7 +75,19 @@ def _build_one(task: str, block: Dict[str, Any], mode: str):
             short_side_size=short,
             sampler=block.get("sampler", "uniform"),
         )
-    elif task in UNIVERSAL_LOCALIZATION_TASKS | NAIVE_LOCALIZATION_TASKS:
+    elif task in NAIVE_LOCALIZATION_TASKS:
+        # full-video windowed TAL (THUMOS14-style; fake-batch sampler path)
+        ds = D.TALWindowedDataset(
+            anno_path=anno,
+            task_name=task,
+            prefix=block.get("prefix", ""),
+            mode=block.get("mode", mode),
+            window_size=int(block.get("window_size", 384)),
+            clip_len=clip_len,
+            short_side_size=short,
+            label2id=label2id,
+        )
+    elif task in UNIVERSAL_LOCALIZATION_TASKS:
         ds = D.LocalizationDataset(
             anno_path=anno,
             task_name=task,

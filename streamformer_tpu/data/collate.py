@@ -150,6 +150,32 @@ class MultitaskLoader:
             task_input["label"] = jnp.asarray(
                 np.stack([ti["label"] for ti in tis]).astype(np.float32)
             )
+        elif kind == "naive_localization" and "gt_segments" in tis[0]:
+            # full-video windowed TAL (fake-batch: exactly one real video,
+            # reference sampler.py:393-443 + utils.py:1180-1186): rasterize
+            # the gt segments to per-frame ±1/0 targets host-side
+            # (TimesformerNaiveLocalizationHead:2155-2177) and reshape the
+            # W-frame video into W/T encoder clips
+            ti = tis[0]
+            w = int(ti["frames"].shape[0])
+            tclip = self.model.cfg.num_frames
+            table = self.model.label_embeddings[task]  # (L, D)
+            l = int(table.shape[0])
+            target = -np.ones((w, l), np.float32)
+            target[~np.asarray(ti["frame_mask"], bool)] = 0.0
+            for (s, e), lab in zip(
+                np.asarray(ti["gt_segments"]).reshape(-1, 2),
+                np.asarray(ti["gt_labels"]).reshape(-1),
+            ):
+                s_idx = int(s) if float(s) == int(s) else int(s) + 1
+                target[s_idx : int(e) + 1, int(lab)] = 1.0
+            task_input["label_embeddings"] = table
+            task_input["target_labels"] = jnp.asarray(target[None])
+            # (1, W, C, h, w) -> (W/T, T, C, h, w): the encoder sees a fake
+            # batch of clips; the head reassembles [B*W, T, D] -> [B, WT, D]
+            pixel_values = pixel_values.reshape(
+                -1, tclip, *pixel_values.shape[2:]
+            )
         elif kind in ("universal_localization", "naive_localization"):
             tables = self.model.label_embeddings[task]
             if isinstance(tables, dict):  # per-dataset tables, pad to L_max

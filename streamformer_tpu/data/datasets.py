@@ -131,6 +131,145 @@ class VideoClsSparseDataset(_RetryDataset):
         return out
 
 
+class VideoClsDenseDataset(VideoClsSparseDataset):
+    """Dense (strided clip_len x sampling_rate) classification — the
+    reference ``VideoClsDataset`` (kinetics.py:36-) and the SSV2 video
+    variant (``SSVideoClsDataset``, ssv2.py:417-) share this sampling;
+    differs from the sparse TSN loader only in the frame-index scheme."""
+
+    def __init__(self, *args, sampling_rate: int = 4, **kw):
+        super().__init__(*args, **kw)
+        self.sampling_rate = sampling_rate
+
+    def get_item(self, index):
+        if self.mode == "test":
+            vid_idx, view_idx = divmod(index, len(self.views))
+            chunk_nb, split_nb = self.views[view_idx]
+        else:
+            vid_idx, chunk_nb, split_nb = index, 0, 0
+        path = os.path.join(self.prefix, str(self.samples[vid_idx]))
+        vr = video_io.VideoReader(path)
+        idx = video_io.dense_sample_indices(
+            len(vr),
+            self.clip_len,
+            self.sampling_rate,
+            mode={"train": "train", "validation": "validation"}.get(
+                self.mode, "test"
+            ),
+            test_chunk=chunk_nb,
+            test_num_segment=self.test_num_segment,
+        )
+        frames = vr.get_batch(idx)
+        vr.close()
+        frames = _host_resize_short(frames, self.short_side_size)
+        out = {
+            "task_name": self.task_name,
+            "task_input": {
+                "frames": frames,
+                "label": np.int64(self.labels[vid_idx]),
+            },
+        }
+        if self.mode == "test":
+            out["task_input"].update(
+                {"chunk_nb": chunk_nb, "split_nb": split_nb, "sample_idx": vid_idx}
+            )
+        return out
+
+
+class TALWindowedDataset(_RetryDataset):
+    """Full-video windowed temporal-action-localization (THUMOS14-style).
+
+    The reference ships the consuming pieces — the fake-batch sampler path
+    (sampler.py:393-443), the no-collate gt fields
+    (utils.py:1150-1197) and TimesformerNaiveLocalizationHead's
+    [B*W, T, D] -> [B, W*T, D] reshape with python-rasterized ±1/0 targets
+    (modeling_timesformer_siglip.py:2120-2177) — while its TAL dataset
+    classes are commented out of datasets/build.py. This implements the
+    producer: one sample = ONE whole video resampled to ``window_size``
+    frames (segment-random in train / linspace otherwise, the
+    task_localization.py:393-405 scheme), with gt segments converted to
+    window-frame units for host-side rasterization in the collate layer.
+
+    Annotation rows: {"video", "duration"?, "segments": [[s, e], ...] sec,
+    "labels": [name-or-id, ...]}.
+    """
+
+    def __init__(
+        self,
+        anno_path: str,
+        task_name: str = "THUMOS14",
+        prefix: str = "",
+        mode: str = "train",
+        window_size: int = 384,
+        clip_len: int = 16,
+        short_side_size: int = 256,
+        label2id: Optional[Dict[str, int]] = None,
+    ):
+        assert window_size % clip_len == 0, (window_size, clip_len)
+        self.task_name = task_name
+        self.prefix = prefix
+        self.mode = mode
+        self.window_size = window_size
+        self.clip_len = clip_len
+        self.short_side_size = short_side_size
+        self.label2id = label2id or {}
+        with open(anno_path) as f:
+            first = f.read(1)
+            f.seek(0)
+            self.rows = (
+                json.load(f) if first == "[" else
+                [json.loads(l) for l in f if l.strip()]
+            )
+
+    def __len__(self):
+        return len(self.rows)
+
+    def get_item(self, index):
+        row = self.rows[index]
+        path = os.path.join(self.prefix, row["video"])
+        vr = video_io.VideoReader(path)
+        total = len(vr)
+        fps = max(vr.fps, 1e-6)
+        duration = float(row.get("duration", total / fps))
+
+        w = self.window_size
+        if self.mode == "train":
+            # one random frame per uniform segment (loadvideo_decord train)
+            seg = max(0.0, float(total - 1) / w)
+            rng = np.random.default_rng()
+            lo = np.round(seg * np.arange(w)).astype(np.int64)
+            hi = np.round(seg * (np.arange(w) + 1)).astype(np.int64)
+            idx = np.minimum(
+                rng.integers(lo, np.maximum(hi, lo) + 1), total - 1
+            )
+        else:
+            idx = np.linspace(0, total - 1, w).astype(np.int64)
+        times = idx / fps
+        frames = vr.get_batch(idx)
+        vr.close()
+        frames = _host_resize_short(frames, self.short_side_size)
+
+        # gt segments in window-frame units: frame j covers times[j]; a
+        # segment [s, e] seconds maps to the covered index range
+        gt_segments, gt_labels = [], []
+        for (s, e), lab in zip(row.get("segments", []), row.get("labels", [])):
+            covered = np.where((times >= float(s)) & (times <= float(e)))[0]
+            if len(covered) == 0:
+                continue
+            gt_segments.append([float(covered[0]), float(covered[-1])])
+            gt_labels.append(int(self.label2id.get(str(lab), lab)))
+        return {
+            "task_name": self.task_name,
+            "task_input": {
+                "frames": frames,  # (window_size, H, W, C) uint8
+                "gt_segments": np.asarray(gt_segments, np.float32).reshape(-1, 2),
+                "gt_labels": np.asarray(gt_labels, np.int64),
+                "frame_mask": np.ones(w, bool),
+                "duration": duration,
+            },
+        }
+
+
 class RetrievalDataset(_RetryDataset):
     """Video-text retrieval (reference TaskRetrievalDataset,
     task_retrieval.py:29-329)."""

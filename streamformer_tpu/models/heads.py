@@ -230,18 +230,19 @@ def naive_localization_head(
     pooler_output: jnp.ndarray,  # (B*W, T, D) windowed full-video features
     label_embeddings: jnp.ndarray,  # (L, D)
     target_labels: jnp.ndarray,  # (B, W*T, L) in {-1, 0, +1}, built host-side
-    window_size: int,
     logit_scale: jnp.ndarray,
     logit_bias: jnp.ndarray,
 ):
     """Windowed TAL head (THUMOS14-style full-video training).
 
     Reference: TimesformerNaiveLocalizationHead (:2081-2185). Window
-    reshaping [B*W, T, D] -> [B, W*T, D]; per-frame sigmoid-BCE vs label
+    reshaping [B*W, T, D] -> [B, W*T, D] with the window size derived from
+    the rasterized targets' static shape; per-frame sigmoid-BCE vs label
     embeds. The (gt_segments -> per-frame ±1/0) target rasterization happens
     host-side (the reference loops in Python per sample, :2155-2177).
     """
     d = pooler_output.shape[-1]
+    window_size = target_labels.shape[1]
     seq = pooler_output.reshape(-1, window_size, d)
     img = _norm(seq)
     txt = _norm(label_embeddings)

@@ -297,8 +297,7 @@ class MultitaskModel:
         if kind == "naive_localization":
             return heads.naive_localization_head(
                 pooler, task_input["label_embeddings"],
-                task_input["target_labels"], int(task_input["window_size"]),
-                scale, bias,
+                task_input["target_labels"], scale, bias,
             )
         if kind == "vis":
             proj = heads.dense_projection_params(params["backbone"]["map_head"])
