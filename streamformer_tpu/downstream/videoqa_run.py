@@ -1,0 +1,224 @@
+"""VideoQA stage-wise training CLI (reference downstream/VideoQA
+llava/train/train.py + scripts/train/stage{1,2,3}*.sh).
+
+Data: LLaVA-format JSON — [{"video": path, "conversations":
+[{"from": "human", "value": "<image>\\nQ..."}, {"from": "gpt", "value":
+"A..."}]}]. Each sample becomes (prompt tokens with the <image>
+placeholder, answer tokens as labels); the splice plan expands the
+placeholder into per-frame vision tokens inside the jitted step.
+
+Usage:
+    python -m streamformer_tpu.downstream.videoqa_run \
+        --data llava_video.json --video_root videos/ --stage 1 \
+        --model_path /ckpt/streamformer --lm_path /ckpt/qwen2
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import time
+
+IMAGE_PLACEHOLDER = "<image>"
+
+
+def get_args():
+    p = argparse.ArgumentParser("StreamFormer-TPU VideoQA")
+    p.add_argument("--data", required=True, help="LLaVA-format JSON")
+    p.add_argument("--video_root", default="")
+    p.add_argument("--output_dir", default="output/videoqa")
+    p.add_argument("--stage", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--model_path", default=None, help="HF backbone dir")
+    p.add_argument("--lm_path", default=None,
+                   help="HF Qwen2/Llama dir (safetensors) for the LM")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir; default = word-hash (smoke only)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--max_len", type=int, default=256)
+    p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--eval_samples", type=int, default=2,
+                   help="greedy-decode this many samples after each epoch")
+    p.add_argument("--seed", type=int, default=0)
+    # tiny-model overrides (smoke tests)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_layers", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    p.add_argument("--lm_hidden", type=int, default=896)
+    p.add_argument("--lm_layers", type=int, default=24)
+    p.add_argument("--lm_heads", type=int, default=14)
+    p.add_argument("--lm_kv_heads", type=int, default=2)
+    p.add_argument("--lm_intermediate", type=int, default=4864)
+    p.add_argument("--lm_vocab", type=int, default=151936)
+    return p.parse_args()
+
+
+class _HashTok:
+    """Deterministic word-hash tokenizer (smoke runs without a local HF
+    tokenizer; real runs pass --tokenizer)."""
+
+    def __init__(self, vocab):
+        self.vocab = vocab
+        self.eos_token_id = 2
+
+    def encode(self, text):
+        return [
+            3 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (self.vocab - 3)
+            for w in text.split()
+        ]
+
+
+def build_sample(row, tok, image_token_index):
+    """conversations -> (input_ids with placeholder, labels on gpt turns)."""
+    ids, labels = [], []
+    for turn in row["conversations"]:
+        text = turn["value"]
+        if turn["from"] == "human":
+            parts = text.split(IMAGE_PLACEHOLDER)
+            for pi, part in enumerate(parts):
+                t = tok.encode(part.strip()) if part.strip() else []
+                ids += t
+                labels += [-100] * len(t)
+                if pi < len(parts) - 1:
+                    ids.append(image_token_index)
+                    labels.append(-100)
+        else:
+            t = tok.encode(text.strip()) + [tok.eos_token_id]
+            ids += t
+            labels += t
+    import numpy as np
+
+    return np.asarray(ids, np.int64), np.asarray(labels, np.int64)
+
+
+def main():
+    args = get_args()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from streamformer_tpu.config import StreamformerConfig
+    from streamformer_tpu.checkpoint import hf_import
+    from streamformer_tpu.data import video_io
+    from streamformer_tpu.data.transforms import resize, to_model_input
+    from streamformer_tpu.downstream import videoqa as VQ
+    from streamformer_tpu.downstream.vision_tower import TimesformerVisionTower
+    from streamformer_tpu.models import encoder as enc
+    from streamformer_tpu.models import language_model as LM
+    from streamformer_tpu.train import checkpoint as ckpt_lib
+    from streamformer_tpu.train import metrics as metrics_lib
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg = StreamformerConfig(
+        num_frames=args.num_frames,
+        image_size=args.input_size,
+        hidden_size=args.hidden_size,
+        num_hidden_layers=args.num_layers,
+        num_attention_heads=args.num_heads,
+        intermediate_size=args.intermediate_size,
+        dtype="float32",
+        streaming_mode=True,
+        context_length=args.num_frames,
+    )
+    if args.model_path:
+        cfg, tower_params = hf_import.from_pretrained(args.model_path, cfg)
+    else:
+        tower_params = enc.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    lm_cfg = LM.LMConfig(
+        vocab_size=args.lm_vocab,
+        hidden_size=args.lm_hidden,
+        intermediate_size=args.lm_intermediate,
+        num_hidden_layers=args.lm_layers,
+        num_attention_heads=args.lm_heads,
+        num_key_value_heads=args.lm_kv_heads,
+        tie_word_embeddings=True,
+    )
+    if args.lm_path:
+        import safetensors.numpy as stn
+
+        sd = {}
+        for fn in sorted(os.listdir(args.lm_path)):
+            if fn.endswith(".safetensors"):
+                sd.update(stn.load_file(os.path.join(args.lm_path, fn)))
+        if "lm_head.weight" not in sd:
+            sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+        lm_params = LM.convert_hf_state_dict(sd, lm_cfg)
+    else:
+        lm_params = LM.init_params(jax.random.PRNGKey(args.seed + 1), lm_cfg)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer,
+                                            local_files_only=True)
+    else:
+        tok = _HashTok(lm_cfg.vocab_size)
+
+    proj = VQ.init_mm_projector(
+        jax.random.PRNGKey(args.seed + 2), cfg.hidden_size, lm_cfg.hidden_size
+    )
+    params = {"tower": tower_params, "projector": proj, "lm": lm_params}
+    tx, step = VQ.make_videoqa_train_step(cfg, lm_cfg, args.stage)
+    opt_state = tx.init(params)
+
+    with open(args.data) as f:
+        rows = json.load(f)
+
+    def load_video(path):
+        vr = video_io.VideoReader(os.path.join(args.video_root, path))
+        idx = video_io.sparse_sample_indices(len(vr), args.num_frames, "train")
+        frames = vr.get_batch(idx)
+        vr.close()
+        x = resize(jnp.asarray(frames), (args.input_size, args.input_size))
+        x = (x / 255.0 - 0.5) / 0.5
+        return to_model_input(x)[None]  # (1, T, C, H, W)
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        order = np.random.default_rng(args.seed + epoch).permutation(len(rows))
+        for si, ri in enumerate(order):
+            row = rows[int(ri)]
+            ids, labels = build_sample(row, tok, VQ.IMAGE_TOKEN_INDEX)
+            plan = VQ.build_splice_plan(ids, args.num_frames, args.max_len,
+                                        labels)
+            batch = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+            batch["text_ids"] = jnp.asarray(
+                np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
+            )[None]
+            batch["pixel_values"] = load_video(row["video"])
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+            if args.steps_per_epoch and si + 1 >= args.steps_per_epoch:
+                break
+        stats = {"epoch": epoch, "stage": args.stage,
+                 "loss": float(np.mean(losses)),
+                 "epoch_time": time.time() - t0}
+        print(json.dumps(stats))
+        metrics_lib.write_log_line(args.output_dir, stats)
+        ckpt_lib.save_checkpoint(args.output_dir, epoch, params, opt_state)
+
+    # greedy-decode eval on a few samples (reference llava/eval video path)
+    if args.eval_samples:
+        tower = TimesformerVisionTower(cfg, params["tower"])
+        model = VQ.LlavaQwenModel(
+            tower=tower, lm_cfg=lm_cfg,
+            params={"projector": params["projector"], "lm": params["lm"]},
+        )
+        for row in rows[: args.eval_samples]:
+            ids, _ = build_sample(row, tok, VQ.IMAGE_TOKEN_INDEX)
+            tower.clear_cache()
+            ans = model.generate(ids, load_video(row["video"]),
+                                 max_new_tokens=16,
+                                 eos_token_id=tok.eos_token_id)
+            print(json.dumps({"video": row["video"],
+                              "answer_token_ids": ans[0].tolist()}))
+
+
+if __name__ == "__main__":
+    main()

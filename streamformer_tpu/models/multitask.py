@@ -108,7 +108,12 @@ class MultitaskModel:
         multi_task_config: Optional[Dict[str, Dict]] = None,
         text_cfg: Optional[text_encoder.SiglipTextConfig] = None,
         rng: Optional[jax.Array] = None,
+        grounding_head: str = "default",  # "default" | "contrastive"
     ):
+        # the reference keeps TimesformerTemporalGroundingContrastiveHead as
+        # an alternative registry entry (:2400-2482); select it here
+        assert grounding_head in ("default", "contrastive")
+        self.grounding_head = grounding_head
         self.cfg = cfg
         self.text_cfg = text_cfg or text_encoder.SiglipTextConfig(
             hidden_size=cfg.hidden_size
@@ -285,6 +290,11 @@ class MultitaskModel:
                 axis_name=axis_name,
             )
         if kind == "grounding":
+            if self.grounding_head == "contrastive":
+                return heads.grounding_contrastive_head(
+                    pooler, text_embeds(task_input["caption_ids"]),
+                    task_input["label"], scale, bias, axis_name=axis_name,
+                )
             return heads.grounding_head(
                 pooler, text_embeds(task_input["caption_ids"]),
                 task_input["label"], scale, bias,

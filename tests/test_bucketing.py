@@ -1,6 +1,11 @@
 """Capacity-bucketed streaming == full-capacity streaming (as long as the
 bucket covers cache_len + t)."""
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

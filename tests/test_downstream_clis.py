@@ -1,0 +1,132 @@
+"""Per-suite CLI smoke tests (the reference's runnable exp scripts,
+downstream/AR/exp/*.sh etc., VERDICT r1 gap #6): drive each entry point's
+main() end-to-end on synthetic data with tiny model overrides."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--hidden_size", "32", "--num_layers", "1", "--num_heads", "4",
+    "--intermediate_size", "64", "--input_size", "32", "--num_frames", "4",
+]
+
+
+def _write_video(path, n=12, h=48, w=64):
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h))
+    rng = np.random.default_rng(abs(hash(path)) % 2**32)
+    for _ in range(n):
+        vw.write(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_videos")
+    paths = []
+    for i in range(4):
+        p = str(root / f"v{i}.avi")
+        _write_video(p)
+        paths.append(p)
+    return paths
+
+
+def test_ar_cli(videos, tmp_path, monkeypatch):
+    anno_tr = str(tmp_path / "train.csv")
+    with open(anno_tr, "w") as f:
+        for i, v in enumerate(videos):
+            f.write(f"{v} {i % 2}\n")
+    out = str(tmp_path / "out")
+    argv = [
+        "ar_run", "--anno_train", anno_tr, "--anno_val", anno_tr,
+        "--num_classes", "2", "--batch_size", "2", "--epochs", "1",
+        "--lr", "1e-3", "--warmup_epochs", "0", "--mixup", "0",
+        "--num_workers", "1", "--output_dir", out, "--patch_size", "16",
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import ar_run
+
+    ar_run.main()
+    with open(os.path.join(out, "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["loss"]) and "top1" in line
+
+
+def test_videoqa_cli(videos, tmp_path, monkeypatch):
+    data = [
+        {
+            "video": videos[0],
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat happens"},
+                {"from": "gpt", "value": "something moves"},
+            ],
+        },
+        {
+            "video": videos[1],
+            "conversations": [
+                {"from": "human", "value": "<image>\ncount the objects"},
+                {"from": "gpt", "value": "three"},
+            ],
+        },
+    ]
+    data_path = str(tmp_path / "qa.json")
+    with open(data_path, "w") as f:
+        json.dump(data, f)
+    out = str(tmp_path / "out")
+    argv = [
+        "videoqa_run", "--data", data_path, "--stage", "1",
+        "--epochs", "1", "--max_len", "24", "--eval_samples", "1",
+        "--output_dir", out,
+        "--lm_hidden", "32", "--lm_layers", "1", "--lm_heads", "4",
+        "--lm_kv_heads", "2", "--lm_intermediate", "64",
+        "--lm_vocab", "64",
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import videoqa_run
+
+    videoqa_run.main()
+    with open(os.path.join(out, "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["loss"]) and line["stage"] == 1
+
+
+def test_oad_cli(tmp_path, monkeypatch):
+    # synthetic per-frame feature dumps (the extract/oad.py contract)
+    rng = np.random.default_rng(0)
+    froot = tmp_path / "feat"
+    troot = tmp_path / "tgt"
+    froot.mkdir()
+    troot.mkdir()
+    names = []
+    for i in range(2):
+        name = f"vid{i}"
+        names.append(name)
+        np.save(froot / f"{name}.npy",
+                rng.standard_normal((48, 16)).astype(np.float32))
+        t = np.zeros((48, 3), np.float32)
+        t[np.arange(48), rng.integers(0, 3, 48)] = 1
+        np.save(troot / f"{name}.npy", t)
+    lst = str(tmp_path / "list.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(names))
+    out = str(tmp_path / "out")
+    argv = [
+        "oad_run", "--feature_root", str(froot), "--target_root", str(troot),
+        "--train_list", lst, "--val_list", lst, "--num_classes", "3",
+        "--feature_dim", "16", "--hidden", "16",
+        "--long_memory_num_samples", "8", "--work_memory_num_samples", "4",
+        "--batch_size", "4", "--epochs", "1", "--steps_per_epoch", "4",
+        "--output_dir", out,
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import oad_run
+
+    oad_run.main()
+    with open(os.path.join(out, "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["loss"]) and "mAP" in line

@@ -1,5 +1,10 @@
 """Evaluation metric correctness (host-side numpy logic)."""
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 import numpy as np
 
 from streamformer_tpu.eval import metrics as M

@@ -89,6 +89,8 @@ def test_classification_head_parity(torch_heads, data, rng):
 
 
 def test_grounding_head_parity(torch_heads, data, rng):
+    """Drives the ACTUAL reference module forward (its in-forward caption
+    tokenization is stubbed to return our fixed text embeddings)."""
     import torch
 
     head = torch_heads.TimesformerTemporalGroundingHead.__new__(
@@ -101,22 +103,21 @@ def test_grounding_head_parity(torch_heads, data, rng):
     text = _mk(rng, B, D)
     frame_labels = rng.integers(0, 2, size=(B, T)).astype(np.float32)
 
-    class _G(torch_heads.TimesformerTemporalGroundingHead.__mro__[0]):
-        pass
+    class _TokOut(dict):
+        def to(self, device):
+            return self
 
-    # drive the reference forward body manually (it tokenizes captions; we
-    # inject text embeds by monkeypatching the encoder call chain)
-    import torch.nn.functional as F
+    head.text_tokenizer = lambda captions, **kw: _TokOut(input_ids=None)
+    head.text_encoder = lambda **kw: (None, torch.from_numpy(text))
 
-    img = torch.from_numpy(data["pooler"])
-    img = img / img.norm(p=2, dim=-1, keepdim=True)
-    txt = torch.from_numpy(text)
-    txt = txt / txt.norm(p=2, dim=-1, keepdim=True)
-    sim = torch.einsum("btd,bd->bt", img, txt)
-    ref_logits = sim * head.logit_scale.exp() + head.logit_bias
-    tl = torch.from_numpy(frame_labels)
-    labels_t = tl.masked_fill(tl == 0, -1)
-    ref_loss = -F.logsigmoid(labels_t * ref_logits).sum() / ref_logits.shape[0]
+    with torch.no_grad():
+        ref_loss, ref_logits = head(
+            _Out(torch.from_numpy(data["pooler"])),
+            {
+                "caption": ["a clip"] * B,
+                "label": torch.from_numpy(frame_labels),
+            },
+        )
 
     loss, logits = heads.grounding_head(
         jnp.asarray(data["pooler"]),
@@ -295,3 +296,30 @@ def test_vis_head_runs_and_masks():
         jnp.float32(np.log(10.0)), jnp.float32(-2.0),
     )
     assert float(loss0) == 0.0
+
+
+def test_contrastive_grounding_dispatch(rng):
+    """grounding_head="contrastive" routes TaskGrounding through the
+    all-gather contrastive variant (reference alt registry entry)."""
+    from streamformer_tpu.config import StreamformerConfig
+    from streamformer_tpu.models.multitask import MultitaskModel
+    from streamformer_tpu.models.text_encoder import SiglipTextConfig
+
+    cfg = StreamformerConfig(
+        image_size=32, patch_size=16, num_frames=4, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=4, intermediate_size=64,
+        dtype="float32", use_pallas=False,
+    )
+    tc = SiglipTextConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                          num_attention_heads=4, intermediate_size=64,
+                          max_position_embeddings=8)
+    m = MultitaskModel(cfg, {"TaskGrounding": {"label2id": None}},
+                       text_cfg=tc, grounding_head="contrastive")
+    px = jnp.asarray(rng.standard_normal((2, 4, 3, 32, 32)).astype(np.float32))
+    ti = {
+        "caption_ids": jnp.asarray(rng.integers(0, 64, (2, 8)).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, (2, 4)).astype(np.float32)),
+    }
+    loss, logits = m.loss_fn(m.params, "TaskGrounding", px, ti, axis_name=None)
+    assert np.isfinite(float(loss))
+    assert logits.shape == (2 * 4, 2)  # (B*T, B) global-batch columns

@@ -5,6 +5,8 @@ forward equality + gradient check)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 

@@ -12,9 +12,10 @@ import jax.numpy as jnp
 
 from streamformer_tpu.ops import msdeform_attn as MS
 
-pytestmark = pytest.mark.skipif(
-    shutil.which("g++") is None, reason="no C++ toolchain"
-)
+pytestmark = [
+    pytest.mark.fast,
+    pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain"),
+]
 
 
 @pytest.fixture(scope="module")

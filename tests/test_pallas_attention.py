@@ -5,6 +5,8 @@ downstream/OVIS/.../ops/test.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ sampler behavior tests."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 import jax
 import jax.numpy as jnp
 
