@@ -436,3 +436,74 @@ class SimpleTracker:
                 self.memory = np.concatenate([self.memory, emb[n : n + 1]])
                 self.ids.append(out_ids[n])
         return out_ids
+
+
+# ---------------------------------------------------------------------------
+# detectron2-config compatibility (reference
+# downstream/OVIS/configs/_base_/M2F.yaml + ytvis_2019/CTVIS_Streamformer.yaml)
+# ---------------------------------------------------------------------------
+
+
+def _deep_update(base: dict, new: dict) -> dict:
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def load_detectron2_yaml(path: str) -> dict:
+    """Resolve a detectron2-style YAML with ``_BASE_`` inheritance chains."""
+    import os
+
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    bases = cfg.pop("_BASE_", [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: dict = {}
+    for b in bases:
+        _deep_update(merged, load_detectron2_yaml(
+            os.path.join(os.path.dirname(path), b)
+        ))
+    return _deep_update(merged, cfg)
+
+
+def config_from_detectron2_yaml(path: str):
+    """Map the reference's detectron2 CTVIS/Mask2Former YAML keys onto
+    (SegmentorConfig, extras) — extras carries tracker / CL-plugin /
+    backbone fields outside the segmentor itself."""
+    cfg = load_detectron2_yaml(path)
+    model = cfg.get("MODEL", {})
+    mf = model.get("MASK_FORMER", {})
+    ssh = model.get("SEM_SEG_HEAD", {})
+    seg = SegmentorConfig(
+        hidden_dim=int(mf.get("HIDDEN_DIM", 256)),
+        num_queries=int(mf.get("NUM_OBJECT_QUERIES", 100)),
+        num_classes=int(ssh.get("NUM_CLASSES", 40)),
+        nheads=int(mf.get("NHEADS", 8)),
+        dim_feedforward=int(mf.get("DIM_FEEDFORWARD", 1024)),
+        enc_layers=int(ssh.get("TRANSFORMER_ENC_LAYERS", 3)),
+        dec_layers=int(mf.get("DEC_LAYERS", 9)),
+        mask_dim=int(ssh.get("MASK_DIM", 256)),
+        in_dim=int(model.get("BACKBONE", {}).get("HIDDEN_SIZE", 768)),
+        no_object_weight=float(mf.get("NO_OBJECT_WEIGHT", 0.1)),
+        class_weight=float(mf.get("CLASS_WEIGHT", 2.0)),
+        mask_weight=float(mf.get("MASK_WEIGHT", 5.0)),
+        dice_weight=float(mf.get("DICE_WEIGHT", 5.0)),
+    )
+    tracker = model.get("TRACKER", {})
+    clp = model.get("CL_PLUGIN", {})
+    extras = {
+        "backbone_pretrained": model.get("BACKBONE", {}).get("PRETRAINED"),
+        "backbone_checkpoint": model.get("BACKBONE", {}).get("CHECKPOINT"),
+        "tracker_name": tracker.get("TRACKER_NAME", "SimpleTracker"),
+        "match_score_thr": float(tracker.get("MATCH_SCORE_THR", 0.3)),
+        "reid_weight": float(clp.get("REID_WEIGHT", 2.0)),
+        "aux_reid_weight": float(clp.get("AUX_REID_WEIGHT", 3.0)),
+        "num_negatives": int(clp.get("NUM_NEGATIVES", 99)),
+    }
+    return seg, extras

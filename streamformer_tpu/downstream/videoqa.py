@@ -349,6 +349,62 @@ def make_videoqa_train_step(tower_cfg, lm_cfg, stage: int,
     return tx, step
 
 
+def score_option_loglik(
+    model: "LlavaQwenModel",
+    prompt_ids: np.ndarray,  # (Lp,) with IMAGE_TOKEN_INDEX
+    option_ids: np.ndarray,  # (Lo,) candidate continuation
+    pixel_values,
+) -> float:
+    """Mean log-likelihood of ``option_ids`` continuing the prompt —
+    the standard multiple-choice scoring used for VideoMME-style evals
+    (reference llava/eval; README.md:102 reports VideoMME w/o subs)."""
+    from streamformer_tpu.models import language_model as LM
+
+    ids = np.concatenate([prompt_ids, option_ids])
+    labels = np.concatenate(
+        [np.full(len(prompt_ids), -100, np.int64), option_ids]
+    )
+    img = model.encode_video(pixel_values)
+    t_img = int(img.shape[1])
+    n_ph = int((ids == IMAGE_TOKEN_INDEX).sum())
+    total = len(ids) - n_ph + n_ph * t_img
+    plan = build_splice_plan(ids, t_img, total, labels)
+    plan = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+    safe = np.where(ids == IMAGE_TOKEN_INDEX, 0, ids)
+    text = LM.embed_tokens(model.params["lm"], jnp.asarray(safe))[None]
+    embeds = apply_splice_plan(plan, text, img)
+    out, _ = LM.forward(
+        model.params["lm"], embeds, model.lm_cfg,
+        attention_mask=plan["attention_mask"].astype(jnp.int32),
+    )
+    lab = jnp.where(plan["attention_mask"], plan["labels"], -100)
+    return -float(LM.lm_loss(out["logits"], lab))
+
+
+def evaluate_multiple_choice(
+    model: "LlavaQwenModel",
+    rows,  # [{"pixel_values", "prompt_ids", "options": [ids...], "answer"}]
+) -> Dict[str, float]:
+    """Multiple-choice accuracy by option log-likelihood (VideoMME-style).
+    The tower cache is cleared per video."""
+    correct = 0
+    for row in rows:
+        if hasattr(model.tower, "clear_cache"):
+            model.tower.clear_cache()
+        scores = []
+        for i, opt in enumerate(row["options"]):
+            if i > 0 and hasattr(model.tower, "clear_cache"):
+                model.tower.clear_cache()
+            scores.append(
+                score_option_loglik(
+                    model, row["prompt_ids"], np.asarray(opt),
+                    row["pixel_values"],
+                )
+            )
+        correct += int(int(np.argmax(scores)) == int(row["answer"]))
+    return {"accuracy": correct / max(len(rows), 1), "n": len(rows)}
+
+
 def stage_policy(stage: int) -> Dict[str, Any]:
     """Trainable parts + lr scales per stage:
     1: projector pretrain (mm_tunable_parts=mm_mlp_adapter, ZeRO-3 analog);

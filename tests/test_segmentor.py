@@ -119,3 +119,27 @@ def test_tracker_identity_consistency():
     e3 = np.array([[0, 0, 1.0]], np.float32)
     ids3 = tr.update(e3)
     assert ids3 == [2]
+
+
+def test_detectron2_config_compat(tmp_path):
+    """Reference CTVIS YAML (with _BASE_ chain) -> SegmentorConfig."""
+    base = tmp_path / "M2F.yaml"
+    base.write_text(
+        "MODEL:\n  SEM_SEG_HEAD:\n    NUM_CLASSES: 40\n    MASK_DIM: 256\n"
+        "    TRANSFORMER_ENC_LAYERS: 6\n"
+        "  MASK_FORMER:\n    HIDDEN_DIM: 256\n    NUM_OBJECT_QUERIES: 64\n"
+        "    NHEADS: 8\n    DEC_LAYERS: 9\n    DICE_WEIGHT: 5.0\n"
+    )
+    child = tmp_path / "CTVIS.yaml"
+    child.write_text(
+        '_BASE_: ["M2F.yaml"]\n'
+        "MODEL:\n  BACKBONE:\n    HIDDEN_SIZE: 768\n"
+        "  MASK_FORMER:\n    NUM_OBJECT_QUERIES: 100\n"
+        "  TRACKER:\n    MATCH_SCORE_THR: 0.3\n"
+        "  CL_PLUGIN:\n    REID_WEIGHT: 2.\n    NUM_NEGATIVES: 99\n"
+    )
+    seg, extras = SEG.config_from_detectron2_yaml(str(child))
+    assert seg.num_queries == 100  # child overrides base
+    assert seg.num_classes == 40 and seg.enc_layers == 6
+    assert seg.in_dim == 768
+    assert extras["match_score_thr"] == 0.3 and extras["num_negatives"] == 99

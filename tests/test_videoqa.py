@@ -171,3 +171,33 @@ def test_videoqa_three_stage_training(rng):
             assert tower_moved == 0 and lm_moved == 0
         else:
             assert tower_moved > 0 and lm_moved > 0
+
+
+def test_multiple_choice_eval(rng):
+    """VideoMME-style option log-likelihood scoring: an LM trained to favor
+    one continuation must pick it."""
+    cfg = CFG.replace(streaming_mode=False)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    lm_cfg, lm_params = _small_lm()
+    proj = VQ.init_mm_projector(jax.random.PRNGKey(1), CFG.hidden_size, LM_DIM)
+    tower = TimesformerVisionTower(cfg, params)
+    model = VQ.LlavaQwenModel(
+        tower=tower, lm_cfg=lm_cfg,
+        params={"projector": proj, "lm": lm_params},
+    )
+    video = jnp.asarray(rng.standard_normal((1, 4, 3, 32, 32)).astype(np.float32))
+    prompt = np.array([3, VQ.IMAGE_TOKEN_INDEX, 9])
+    options = [np.array([7, 7]), np.array([11, 13]), np.array([21, 22])]
+
+    # pick the option the (random) LM already prefers, then assert the
+    # evaluator reproduces that argmax deterministically
+    scores = [
+        VQ.score_option_loglik(model, prompt, o, video) for o in options
+    ]
+    best = int(np.argmax(scores))
+    rows = [{
+        "pixel_values": video, "prompt_ids": prompt,
+        "options": options, "answer": best,
+    }]
+    res = VQ.evaluate_multiple_choice(model, rows)
+    assert res["accuracy"] == 1.0 and res["n"] == 1
