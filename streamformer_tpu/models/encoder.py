@@ -434,6 +434,30 @@ def temporal_attention(
     """
     b, t, n, d = x.shape
     h = cfg.num_attention_heads
+
+    if (
+        cache_kv is None
+        and causal
+        and t <= 32
+        and _use_pallas(cfg)
+        and cfg.use_pallas_streaming
+    ):
+        # fused full-clip temporal attention: flat-D rows, no (H, dh)
+        # tile-padded intermediates (ops/attention.py design notes);
+        # 16-frame causal attention is tiny-matmul-bound for XLA (~3 TFLOP/s)
+        from streamformer_tpu.ops import attention as pops
+
+        qkv = dense(x, p["qkv"])  # (B, T, N, 3D), lane-aligned slices
+        def rows(a):
+            return a.transpose(0, 2, 1, 3).reshape(b * n, t, d)
+
+        ctx = pops.fused_temporal_fullclip(
+            rows(qkv[..., :d]), rows(qkv[..., d : 2 * d]),
+            rows(qkv[..., 2 * d :]), h,
+        )
+        ctx = ctx.reshape(b, n, t, d).transpose(0, 2, 1, 3)
+        return dense(ctx, p["out"])
+
     scale = cfg.head_dim**-0.5
     q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
 

@@ -536,3 +536,107 @@ def _decode_kernel_noscale(len_ref, q_ref, k_ref, v_ref, o_ref,
     _decode_kernel(len_ref, q_ref, k_ref, v_ref, None, None, o_ref,
                    m_ref, l_ref, acc_ref,
                    num_heads=num_heads, cache_block=cache_block)
+
+
+# ---------------------------------------------------------------------------
+# fused full-clip temporal-causal attention (training/full-forward hot loop)
+# ---------------------------------------------------------------------------
+#
+# The divided temporal attention at T=16 is tiny-matmul-bound for the MXU
+# ((16,64)@(64,16) per (b,n,h) — ~6% utilization; XLA's fused attention
+# measures ~3 TFLOP/s here). This kernel uses the same D-packed segmented
+# formulation as the decode kernel: rows are (b, n) pairs, heads live as
+# 12x64 lane segments, scores come from one elementwise multiply plus a
+# (rows, D) @ (D, H) segment reduction per query position, with the causal
+# structure expressed as STATIC key slices (query t attends keys [0..t]).
+# Forward-only; the backward recomputes through the einsum formulation
+# (jax.custom_vjp) like fused_spatial_attention.
+
+
+def _fullclip_temporal_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                              num_heads: int, t_len: int):
+    rb, t, d = q_ref.shape
+    h = num_heads
+    dh = d // h
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    seg = (d_idx // dh == h_idx).astype(jnp.float32)
+    seg_t = seg.T
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    k_f = k_ref[...].astype(jnp.float32)  # (RB, T, D)
+    v_f = v_ref[...].astype(jnp.float32)
+    scale = dh**-0.5
+    # full-T masked per-query loop: growing causal slices would make the
+    # sublane dim unaligned (kv not a multiple of 8) and cost relayouts;
+    # masking the full T keeps every op tile-aligned (measured ~2x faster)
+    for qt in range(t_len):
+        q_t = q_ref[:, qt, :].astype(jnp.float32)  # (RB, D)
+        x = k_f * q_t[:, None, :]  # (RB, T, D)
+        s = mm(x.reshape(rb * t, d), seg).reshape(rb, t, h) * scale
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (rb, t, h), 1)
+        s = jnp.where(k_idx <= qt, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        p_d = mm(p.reshape(rb * t, h), seg_t).reshape(rb, t, d)
+        o_ref[:, qt, :] = jnp.sum(p_d * v_f, axis=1).astype(o_ref.dtype)
+
+
+def _fullclip_temporal_pallas(q, k, v, num_heads, row_block=28):
+    r, t, d = q.shape
+    while r % row_block:
+        row_block -= 1
+    spec = pl.BlockSpec((row_block, t, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fullclip_temporal_kernel, num_heads=num_heads,
+                          t_len=t),
+        grid=(r // row_block,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((r, t, d), q.dtype),
+    )(q, k, v)
+
+
+def fullclip_temporal_reference(q, k, v, num_heads):
+    """(R, T, D) einsum oracle (and the custom_vjp backward)."""
+    r, t, d = q.shape
+    dh = d // num_heads
+    qh = q.reshape(r, t, num_heads, dh)
+    kh = k.reshape(r, t, num_heads, dh)
+    vh = v.reshape(r, t, num_heads, dh)
+    s = jnp.einsum("rqhd,rkhd->rhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * dh**-0.5
+    mask = jnp.tril(jnp.ones((t, t), bool))
+    s = jnp.where(mask[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("rhqk,rkhd->rqhd", p, vh).reshape(r, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_temporal_fullclip(q, k, v, num_heads):
+    """Causal temporal attention over (R, T, D) flat-D rows; Pallas forward,
+    einsum backward."""
+    return _fullclip_temporal_pallas(q, k, v, num_heads)
+
+
+def _ftf_fwd(q, k, v, num_heads):
+    return _fullclip_temporal_pallas(q, k, v, num_heads), (q, k, v)
+
+
+def _ftf_bwd(num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: fullclip_temporal_reference(q, k, v, num_heads),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+fused_temporal_fullclip.defvjp(_ftf_fwd, _ftf_bwd)
