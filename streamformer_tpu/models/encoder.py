@@ -378,17 +378,24 @@ def spatial_attention(
     """
     b, t, n, d = x.shape
     h = cfg.num_attention_heads
-    scale = cfg.head_dim**-0.5
-    q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
     if _use_pallas(cfg) and cfg.use_pallas_spatial:
+        # flat-D rows: heads are 64-lane slices inside the kernel; avoids
+        # the tile-padded (..., H, dh) q/k/v the XLA path materializes
         from streamformer_tpu.ops import attention as pops
 
-        def to_rhnd(a):
-            return a.reshape(b * t, n, h, cfg.head_dim).transpose(0, 2, 1, 3)
+        qkv = dense(x, p["qkv"])  # (B, T, N, 3D)
+        def rows(a):
+            return a.reshape(b * t, n, d)
 
-        ctx = pops.fused_spatial_attention(to_rhnd(q), to_rhnd(k), to_rhnd(v))
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n, d)
-    elif x.dtype == jnp.bfloat16:
+        ctx = pops.fused_spatial_flat(
+            rows(qkv[..., :d]), rows(qkv[..., d : 2 * d]),
+            rows(qkv[..., 2 * d :]), h,
+        ).reshape(b, t, n, d)
+        return dense(ctx, p["out"])
+
+    scale = cfg.head_dim**-0.5
+    q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
+    if x.dtype == jnp.bfloat16:
         # XLA's fused attention path: ~15% faster than the einsum formulation
         # on v5e; fp32 runs keep the einsum for exact parity
         fold = lambda a: a.reshape(b * t, n, h, cfg.head_dim)

@@ -640,3 +640,86 @@ def _ftf_bwd(num_heads, res, g):
 
 
 fused_temporal_fullclip.defvjp(_ftf_fwd, _ftf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused spatial attention, flat-D form (full-forward hot loop)
+# ---------------------------------------------------------------------------
+
+
+def _spatial_flat_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
+    """Per-row (b,t) softmax attention over N patches, heads as 64-lane
+    slices of the flat D dim — avoids the ~2.7x tile-padded (..., H, dh)
+    materializations the XLA fused-attention path needs."""
+    rb, n, d = q_ref.shape
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    for r in range(rb):
+        qf = q_ref[r].astype(jnp.float32)  # (N, D)
+        kf = k_ref[r].astype(jnp.float32)
+        vf = v_ref[r].astype(jnp.float32)
+        outs = []
+        for hh in range(h):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            s = jax.lax.dot_general(
+                qf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jax.lax.dot_general(
+                    p, vf[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        o_ref[r] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _spatial_flat_pallas(q, k, v, num_heads, row_block=1):
+    r, n, d = q.shape
+    spec = pl.BlockSpec((row_block, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_spatial_flat_kernel, num_heads=num_heads),
+        grid=(r // row_block,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((r, n, d), q.dtype),
+    )(q, k, v)
+
+
+def spatial_flat_reference(q, k, v, num_heads):
+    r, n, d = q.shape
+    dh = d // num_heads
+    qh = q.reshape(r, n, num_heads, dh)
+    kh = k.reshape(r, n, num_heads, dh)
+    vh = v.reshape(r, n, num_heads, dh)
+    s = jnp.einsum("rqhd,rkhd->rhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * dh**-0.5
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("rhqk,rkhd->rqhd", p, vh).reshape(r, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_spatial_flat(q, k, v, num_heads):
+    """Spatial attention on (R, N, D) flat-D rows; Pallas forward, einsum
+    backward."""
+    return _spatial_flat_pallas(q, k, v, num_heads)
+
+
+def _fsf_fwd(q, k, v, num_heads):
+    return _spatial_flat_pallas(q, k, v, num_heads), (q, k, v)
+
+
+def _fsf_bwd(num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: spatial_flat_reference(q, k, v, num_heads), q, k, v
+    )
+    return vjp(g)
+
+
+fused_spatial_flat.defvjp(_fsf_fwd, _fsf_bwd)

@@ -136,3 +136,41 @@ def test_fused_temporal_decode_inplace(rng, clen):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
     np.testing.assert_array_equal(np.asarray(ko), k_full)
     np.testing.assert_array_equal(np.asarray(vo), v_full)
+
+
+def test_fused_spatial_flat_matches_reference(rng):
+    r, n, h, dh = 4, 60, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, n, d)).astype(np.float32))
+    got = A.fused_spatial_flat(q, k, v, h)
+    ref = A.spatial_flat_reference(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    gf = jax.grad(lambda q: jnp.sum(A.fused_spatial_flat(q, k, v, h) ** 2))(q)
+    gr = jax.grad(
+        lambda q: jnp.sum(A.spatial_flat_reference(q, k, v, h) ** 2)
+    )(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_fused_temporal_fullclip_matches_reference(rng):
+    r, t, h, dh = 56, 8, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((r, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((r, t, d)).astype(np.float32))
+    got = A.fused_temporal_fullclip(q, k, v, h)
+    ref = A.fullclip_temporal_reference(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    gf = jax.grad(
+        lambda q: jnp.sum(A.fused_temporal_fullclip(q, k, v, h) ** 2)
+    )(q)
+    gr = jax.grad(
+        lambda q: jnp.sum(A.fullclip_temporal_reference(q, k, v, h) ** 2)
+    )(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4,
+                               rtol=1e-4)
