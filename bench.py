@@ -190,6 +190,38 @@ def main():
         t2 = min(timed512(23) for _ in range(reps))
         fps_512 = b512 / ((t2 - t1) / 20)
 
+    # int8 serving path: per-column int8 weights + dynamic per-row activation
+    # quant (ops/quant.py) — the step is MXU-bound, v5e int8 peak is 2x bf16
+    fps_int8 = None
+    if on_tpu:
+        from streamformer_tpu.ops import quant
+
+        qparams = jax.tree.map(lambda x: x, params)
+        qparams = quant.quantize_encoder_params(qparams)
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step_q(qparams, frame, c):
+            c = {**c, "len": jnp.full((), cfg.cache_capacity - 1, jnp.int32)}
+            out, c = encoder.streaming_forward(qparams, frame, c, cfg)
+            return out["pooler_output"], c
+
+        cq = encoder.init_cache(cfg, batch=batch)
+        pooled, cq = step_q(qparams, frame, cq)
+        _ = float(jnp.sum(pooled))
+
+        def timed_q(k):
+            nonlocal cq
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, cq = step_q(qparams, frame, cq)
+            _ = float(jnp.sum(pooled))
+            return time.perf_counter() - t0
+
+        tq1 = min(timed_q(k1) for _ in range(reps))
+        tq2 = min(timed_q(k2) for _ in range(reps))
+        fps_int8 = batch / ((tq2 - tq1) / (k2 - k1))
+
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
     if (
@@ -214,6 +246,7 @@ def main():
         "torch_reference_host": "same-host CPU eager fp32 batch1" if torch_fps else None,
         "h100_fps_estimate": H100_REFERENCE_FPS_EST,
         "fps_512f_context_batch2": round(fps_512, 2) if fps_512 else None,
+        "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
     }
     print(json.dumps(result))
     print(

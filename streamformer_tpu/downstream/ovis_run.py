@@ -25,15 +25,23 @@ import time
 
 def get_args():
     p = argparse.ArgumentParser("StreamFormer-TPU OVIS segmentor")
+    p.add_argument(
+        "--d2_config",
+        default=None,
+        help="detectron2-style CTVIS/Mask2Former YAML (reference "
+        "downstream/OVIS/configs/*, _BASE_ chains resolved); its MODEL/"
+        "SOLVER/INPUT keys seed the defaults, explicit flags still win",
+    )
     p.add_argument("--anno", required=True, help="VISDataset annotation JSON")
     p.add_argument("--video_root", default="")
     p.add_argument("--val_anno", default=None)
     p.add_argument("--output_dir", default="output/ovis")
     p.add_argument("--model_path", default=None, help="HF backbone dir")
-    p.add_argument("--num_classes", type=int, required=True)
-    p.add_argument("--num_queries", type=int, default=100)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--num_queries", type=int, default=None)
     p.add_argument("--epochs", type=int, default=12)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
     p.add_argument("--num_frames", type=int, default=2)
     p.add_argument("--input_size", type=int, default=224)
     p.add_argument("--steps_per_epoch", type=int, default=0)
@@ -63,6 +71,25 @@ def main():
     from streamformer_tpu.train import metrics as metrics_lib
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    d2_seg, d2_extras = None, {}
+    if args.d2_config:
+        d2_seg, d2_extras = SEG.config_from_detectron2_yaml(args.d2_config)
+    if args.num_classes is None:
+        args.num_classes = d2_seg.num_classes if d2_seg else None
+    if args.num_classes is None:
+        raise SystemExit("--num_classes (or --d2_config) is required")
+    if args.num_queries is None:
+        args.num_queries = d2_seg.num_queries if d2_seg else 100
+    if args.lr is None:
+        args.lr = d2_extras.get("base_lr", 1e-4)
+    if args.weight_decay is None:
+        args.weight_decay = d2_extras.get("weight_decay", 0.05)
+    if args.model_path is None and d2_extras.get("backbone_pretrained"):
+        bp = d2_extras["backbone_pretrained"]
+        if os.path.isdir(bp):
+            args.model_path = bp
+
     cfg = StreamformerConfig(
         num_frames=args.num_frames,
         image_size=args.input_size,
@@ -77,7 +104,11 @@ def main():
     else:
         backbone = enc.init_params(jax.random.PRNGKey(args.seed), cfg)
 
-    seg_cfg = SEG.SegmentorConfig(
+    import dataclasses
+
+    base_seg = d2_seg if d2_seg is not None else SEG.SegmentorConfig()
+    seg_cfg = dataclasses.replace(
+        base_seg,
         num_classes=args.num_classes,
         num_queries=args.num_queries,
         hidden_dim=min(cfg.hidden_size, 256),
@@ -94,7 +125,7 @@ def main():
                     crop_size=args.input_size,
                     mask_size=(args.input_size, args.input_size))
 
-    tx = optax.adamw(args.lr, weight_decay=0.05)
+    tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
     opt_state = tx.init(params)
 
     def fpn_of(p, px):

@@ -497,6 +497,8 @@ def config_from_detectron2_yaml(path: str):
     )
     tracker = model.get("TRACKER", {})
     clp = model.get("CL_PLUGIN", {})
+    solver = cfg.get("SOLVER", {})
+    inp = cfg.get("INPUT", {})
     extras = {
         "backbone_pretrained": model.get("BACKBONE", {}).get("PRETRAINED"),
         "backbone_checkpoint": model.get("BACKBONE", {}).get("CHECKPOINT"),
@@ -505,5 +507,13 @@ def config_from_detectron2_yaml(path: str):
         "reid_weight": float(clp.get("REID_WEIGHT", 2.0)),
         "aux_reid_weight": float(clp.get("AUX_REID_WEIGHT", 3.0)),
         "num_negatives": int(clp.get("NUM_NEGATIVES", 99)),
+        # SOLVER / INPUT blocks (reference configs/_base_/YTVIS2019.yaml etc.)
+        "base_lr": float(solver.get("BASE_LR", 1e-4)),
+        "weight_decay": float(solver.get("WEIGHT_DECAY", 0.05)),
+        "max_iter": int(solver.get("MAX_ITER", 0)),
+        "ims_per_batch": int(solver.get("IMS_PER_BATCH", 1)),
+        "backbone_multiplier": float(solver.get("BACKBONE_MULTIPLIER", 0.1)),
+        "sampling_frame_num": int(inp.get("SAMPLING_FRAME_NUM", 2)),
+        "datasets_train": cfg.get("DATASETS", {}).get("TRAIN"),
     }
     return seg, extras

@@ -90,7 +90,15 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     LoRA follows the reference convention ``y = W x + B(A x)`` with no extra
     scaling (modeling_timesformer_siglip.py:536-541): ``lora_a`` is
     (in, r) normal(0, 0.02)-init, ``lora_b`` is (r, out) zero-init.
+
+    Int8 serving: trees produced by ``ops.quant.quantize_encoder_params``
+    carry ``kernel_q``/``kernel_scale`` instead of ``kernel`` and route to
+    the s8s8s32 MXU path (2x bf16 peak on v5e).
     """
+    if "kernel_q" in p:
+        from streamformer_tpu.ops import quant
+
+        return quant.int8_dense(x, p)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
@@ -784,7 +792,7 @@ def map_pool(x: jnp.ndarray, p: Params, cfg: StreamformerConfig) -> jnp.ndarray:
     dh = d // h
     scale = dh**-0.5
     probe = p["probe"].astype(x.dtype)  # (D,)
-    q = (probe @ p["q"]["kernel"].astype(x.dtype)) + p["q"]["bias"].astype(x.dtype)
+    q = dense(probe[None, :], p["q"])[0]
     q = q.reshape(h, dh)
     k = dense(x, p["k"]).reshape(b, t, n, h, dh)
     v = dense(x, p["v"]).reshape(b, t, n, h, dh)

@@ -1,0 +1,109 @@
+"""Int8 weight + dynamic-activation quantization for the serving path.
+
+The streaming encode step is MXU-compute-bound (bench.py: ~57 TFLOP/s bf16 of
+the 197 TFLOP/s v5e bf16 peak); the v5e int8 MXU peak is 2x bf16, and a chained
+microbenchmark of the step's dense shapes (1568x768 @ 768x3072 etc.) measures
+int8-with-dynamic-activation-quant at 1.5x the bf16 wall clock. This module
+provides:
+
+* ``quantize_linear(p)``     — per-output-channel symmetric int8 weights
+* ``int8_dense(x, p)``       — dynamic per-row activation quant + s8s8s32 dot
+* ``quantize_encoder_params``— walk a backbone tree, quantizing every 2-D
+                               dense kernel (patch-embed conv and embeddings
+                               stay bf16/f32; LoRA deltas stay bf16)
+
+This is a SERVING path: the int8 dot is not differentiable, the trainer never
+produces quantized trees. Accuracy: per-row absmax activation scales plus
+per-column weight scales keep encoder pooler-output cosine > 0.999 vs bf16
+(tests/test_quant.py). The reference has no quantized inference at all
+(SURVEY §6 — eager fp32/bf16 only), so this is capability beyond parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# dense kernels smaller than this many elements are left unquantized — the
+# dynamic-quant overhead outweighs the MXU win for tiny matmuls
+_MIN_KERNEL_ELEMENTS = 128 * 128
+
+
+def quantize_linear(p: Params) -> Params:
+    """{"kernel", "bias"?, "lora_*"?} -> int8 kernel + f32 per-column scales."""
+    k = p["kernel"].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-8) / 127.0  # (out,)
+    q = jnp.clip(jnp.round(k / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": q, "kernel_scale": scale}
+    for key in ("bias", "lora_a", "lora_b"):
+        if key in p and p[key] is not None:
+            out[key] = p[key]
+    return out
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Symmetric dynamic per-row int8: (R, K) -> (int8 (R, K), f32 (R,))."""
+    x32 = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(x32), axis=-1)
+    xs = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / xs[:, None]), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def int8_dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """y = x @ W + b with W int8 per-column and x dynamically int8 per row.
+
+    The s8 x s8 -> s32 ``dot_general`` hits the MXU int8 path (2x bf16 peak
+    on v5e); the f32 rescale fuses into the epilogue. LoRA deltas (if any)
+    are applied in the activation dtype, unquantized, preserving the
+    reference LoRA convention (modeling_timesformer_siglip.py:536-541).
+    """
+    *lead, kdim = x.shape
+    x2 = x.reshape(-1, kdim)
+    xq, xs = quantize_rows(x2)
+    y = jax.lax.dot_general(
+        xq,
+        p["kernel_q"],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * xs[:, None] * p["kernel_scale"][None, :]
+    y = y.astype(x.dtype).reshape(*lead, -1)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    if "lora_a" in p:
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+    return y
+
+
+def quantize_encoder_params(params: Params) -> Params:
+    """Quantize every large 2-D dense kernel in a backbone param tree.
+
+    Leaves everything else (layernorms, gates, embeddings, the 4-D
+    patch-embed conv kernel, probe vectors) untouched. The returned tree is
+    consumed transparently by ``models.encoder.dense`` (which dispatches on
+    the presence of ``kernel_q``), so ``model_forward`` / ``streaming_forward``
+    and every fused-kernel path work unchanged.
+    """
+
+    def walk(node):
+        if isinstance(node, dict):
+            kern = node.get("kernel")
+            if (
+                kern is not None
+                and hasattr(kern, "ndim")
+                and kern.ndim == 2
+                and kern.size >= _MIN_KERNEL_ELEMENTS
+            ):
+                return quantize_linear(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v) for v in node)
+        return node
+
+    return walk(params)

@@ -143,3 +143,31 @@ def test_detectron2_config_compat(tmp_path):
     assert seg.num_classes == 40 and seg.enc_layers == 6
     assert seg.in_dim == 768
     assert extras["match_score_thr"] == 0.3 and extras["num_negatives"] == 99
+
+
+def test_detectron2_config_reference_yaml():
+    """Drive the ACTUAL reference config chain
+    (downstream/OVIS/configs/ytvis_2019/CTVIS_Streamformer.yaml with its
+    _BASE_ [M2F.yaml, YTVIS2019.yaml])."""
+    import os
+
+    path = (
+        "/root/reference/downstream/OVIS/configs/ytvis_2019/"
+        "CTVIS_Streamformer.yaml"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    seg, extras = SEG.config_from_detectron2_yaml(path)
+    # M2F.yaml values
+    assert seg.hidden_dim == 256 and seg.nheads == 8
+    assert seg.dim_feedforward == 2048 and seg.mask_dim == 256
+    assert seg.no_object_weight == 0.1 and seg.dice_weight == 5.0
+    # YTVIS2019.yaml values
+    assert seg.num_classes == 40
+    assert extras["base_lr"] == 1e-4 and extras["weight_decay"] == 0.05
+    assert extras["max_iter"] == 32000 and extras["ims_per_batch"] == 8
+    assert extras["sampling_frame_num"] == 16
+    # leaf overrides
+    assert seg.num_queries == 100 and seg.in_dim == 768
+    assert extras["tracker_name"] == "SimpleTracker"
+    assert extras["reid_weight"] == 2.0 and extras["aux_reid_weight"] == 3.0
