@@ -419,6 +419,126 @@ def spatial_attention(
     return dense(ctx, p["out"])
 
 
+def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
+                                attend_cap):
+    """Streaming temporal attention on the pos-major (C, B, N, D) cache.
+
+    Appending the T new frames is one contiguous (T, B, N, D) plane
+    ``dynamic_update_slice`` (in place on a donated buffer — the row-major
+    layout needed an in-kernel write-back because a dim-2 dus scatters
+    across every tile). Attention then runs the pos-major fused kernel
+    (single new frame) or the einsum formulation. Returns (ctx, cache)
+    with ctx (B, T, N, D); the caller applies the output projection.
+
+    int8 caches store per-(pos, patch-row) absmax scales in a row-major
+    (B, N, C) array; the dequant is folded post-reduction in the kernel
+    (pooler cosine vs bf16 > 0.9999, tests/test_streaming.py).
+    """
+    b, t, n, h, dh = q.shape
+    d = h * dh
+    cap = cache["k"].shape[0]
+    quantized = "k_scale" in cache
+    r = b * n
+    # int8 caches are row-padded to the 32-sublane tile (init_cache)
+    r_pad = cache["k"].shape[1]
+
+    use_kernel = (
+        _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
+    )
+    if use_kernel:
+        # the append happens IN-KERNEL with the cache aliased in/out: a
+        # host-graph dus makes XLA relayout the big cache around the custom
+        # call (three full copies per layer, 2.9x step time — see
+        # ops/attention.py pm notes)
+        from streamformer_tpu.ops import attention as pops
+
+        q_rows = q[:, 0].reshape(r, d)  # (B, N, H, dh) is contiguous
+        kn = k[:, 0].reshape(r, d)
+        vn = v[:, 0].reshape(r, d)
+        if quantized:
+            knq, kns = quantize_kv(kn)  # per-row over D
+            vnq, vns = quantize_kv(vn)
+            if r_pad != r:
+                pad = [(0, r_pad - r), (0, 0)]
+                q_rows = jnp.pad(q_rows, pad)
+                knq = jnp.pad(knq, pad)
+                vnq = jnp.pad(vnq, pad)
+                kns = jnp.pad(kns, pad[:1])
+                vns = jnp.pad(vns, pad[:1])
+            ctx, k_out, v_out = pops.fused_temporal_decode_pm_int8(
+                q_rows, knq, vnq, kns[:, None], vns[:, None],
+                cache["k"], cache["v"],
+                cache["k_scale"], cache["v_scale"],
+                cache_len,
+                num_heads=h,
+                out_dtype=q.dtype,
+            )
+            ctx = ctx[:r]
+            for key, s in (("k", kns), ("v", vns)):
+                cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
+                    cache[f"{key}_scale"], s[:, None], (0, cache_len)
+                )
+        else:
+            # no attend_cap bucketing needed: the kv index_map clamps block
+            # reads to the valid prefix, so HBM traffic is O(cache_len)
+            ctx, k_out, v_out = pops.fused_temporal_decode_pm(
+                q_rows, kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype),
+                cache["k"], cache["v"],
+                cache_len,
+                num_heads=h,
+                out_dtype=q.dtype,
+            )
+        cache["k"] = k_out
+        cache["v"] = v_out
+        return ctx.reshape(b, 1, n, d), cache
+
+    # einsum fallback (fp32 parity, multi-frame appends, non-causal):
+    # host-graph plane dus — contiguous, but XLA may relayout-copy the cache
+    # around consumers; the kernel path above is the production decode
+    k_p = k.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
+    v_p = v.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
+    if quantized:
+        for key, val in (("k", k_p), ("v", v_p)):
+            qv, s = quantize_kv(val)  # per-(t, row) over D
+            cache[key] = jax.lax.dynamic_update_slice(
+                cache[key], qv, (cache_len, 0, 0)
+            )
+            cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
+                cache[f"{key}_scale"], s.T, (0, cache_len)  # (R, T)
+            )
+    else:
+        for key, val in (("k", k_p), ("v", v_p)):
+            cache[key] = jax.lax.dynamic_update_slice(
+                cache[key], val.astype(cache[key].dtype), (cache_len, 0, 0)
+            )
+
+    att_cap = cap
+    if attend_cap is not None and attend_cap < cap:
+        att_cap = attend_cap
+
+    def view(key):
+        arr = cache[key][:att_cap, :r].reshape(att_cap, b, n, h, dh)
+        if quantized:
+            sc = cache[f"{key}_scale"][:r, :att_cap]  # (R, C')
+            sc = sc.T.reshape(att_cap, b, n)  # (C', B, N)
+            return (arr.astype(jnp.float32) * sc[..., None, None]).astype(
+                q.dtype
+            )
+        return arr.astype(q.dtype)
+
+    scores = jnp.einsum(
+        "bqnhd,cbnhd->bnhqc", q, view("k"),
+        preferred_element_type=jnp.float32,
+    ) * (dh**-0.5)
+    qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, att_cap), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, att_cap), 1)
+    mask = kpos <= qpos if causal else kpos < (cache_len + t)
+    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bnhqc,cbnhd->bqnhd", probs, view("v"))
+    return ctx.reshape(b, t, n, d), cache
+
+
 @_precise
 def temporal_attention(
     x: jnp.ndarray,
@@ -497,6 +617,11 @@ def temporal_attention(
         return dense(ctx, p["out"])
 
     cache = dict(cache_kv)
+    if cfg.cache_layout == "pos_major" and cfg.cache_mode != "ring":
+        ctx, cache = _streaming_attend_pos_major(
+            q, k, v, cache, cache_len, cfg, causal, attend_cap
+        )
+        return dense(ctx, p["out"]), cache
     quantized = "k_scale" in cache
     cap = cache["k"].shape[2]
     dh = cfg.head_dim
@@ -876,8 +1001,12 @@ def init_cache(
     capacity: Optional[int] = None,
     dtype=None,
 ) -> Params:
-    """Preallocated temporal KV cache: one (B, N, C, D) pair per layer
-    (+ per-(B, N, C, H) float32 scales when cache_dtype is int8).
+    """Preallocated temporal KV cache, one K/V pair per layer.
+
+    Layout per cfg.cache_layout: "pos_major" (default) stores (C, B, N, D)
+    so appends are contiguous plane updates (int8 scales per-(pos,row) in a
+    (B, N, C) array); "row_major" stores (B, N, C, D) (int8 scales
+    per-(pos,row,head), (B, N, C, H)) and is what the ring mode uses.
 
     The reference grows an HF DynamicCache unboundedly
     (timesformer_encoder.py:517-518); here capacity is static so the cache is
@@ -889,22 +1018,54 @@ def init_cache(
     # precedence: explicit dtype arg > cfg.cache_dtype > cfg.dtype
     cache_dt = dtype if dtype is not None else (cfg.cache_dtype or cfg.dtype)
     h = cfg.num_attention_heads
-    # patch-row-major flat-D layout (B, N, C, D): each row's temporal window
-    # is one contiguous DMA for the fused decode kernel (ops/attention.py),
-    # and D = k*128 lanes keeps the physical TPU layout identical to
-    # row-major so the kernel's custom call needs no relayout copy
-    shape = (batch, n, cap, cfg.hidden_size)
+    # the ring (sliding-window) mode writes scattered slots and keeps the
+    # row-major layout; the linear mode defaults to pos-major (config.py)
+    pos_major = cfg.cache_layout == "pos_major" and cfg.cache_mode != "ring"
 
-    def layer():
+    if pos_major:
+        # position-major (C, B·N, D), flat 3-D ON PURPOSE: XLA gives the
+        # equivalent 4-D (C, B, N, D) shape a permuted default layout
+        # (major_to_minor (0,2,1,3)), which forces two full-cache relayout
+        # copies per layer around the decode kernel (measured 2x step
+        # time); the 3-D shape gets the standard layout the kernel pins.
+        # The new frame's plane is appended IN-KERNEL (aliased in/out).
+        r = batch * n
         if str(cache_dt) == "int8":
-            return {
-                "k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
-                "v_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
-            }
-        dt = jnp.dtype(cache_dt)
-        return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+            # pad rows to the 32-sublane int8 tile so the fused kernel's
+            # (CB, RB, D) blocks are legal at any batch; padded rows hold
+            # zeros and are sliced off by every consumer
+            r = -(-r // 32) * 32
+        shape = (cap, r, cfg.hidden_size)
+
+        def layer():
+            if str(cache_dt) == "int8":
+                return {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    # per-(pos, patch-row) scales, row-major (R, C) so the
+                    # kernel's (RB, C) tiles have lane dim == full C
+                    "k_scale": jnp.zeros((r, cap), jnp.float32),
+                    "v_scale": jnp.zeros((r, cap), jnp.float32),
+                }
+            dt = jnp.dtype(cache_dt)
+            return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    else:
+        # patch-row-major flat-D layout (B, N, C, D): each row's temporal
+        # window is one contiguous DMA for the fused decode kernel, and
+        # D = k*128 lanes keeps the physical TPU layout identical to
+        # row-major so the kernel's custom call needs no relayout copy
+        shape = (batch, n, cap, cfg.hidden_size)
+
+        def layer():
+            if str(cache_dt) == "int8":
+                return {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
+                    "v_scale": jnp.zeros((batch, n, cap, h), jnp.float32),
+                }
+            dt = jnp.dtype(cache_dt)
+            return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
     # Per-layer leaves (not one stacked (L, ...) array): each leaf aliases its
     # donated input so the per-step HBM traffic is only the appended slice,

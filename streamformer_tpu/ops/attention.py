@@ -539,6 +539,291 @@ def _decode_kernel_noscale(len_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 # ---------------------------------------------------------------------------
+# fused temporal streaming decode, POSITION-MAJOR cache layout
+# ---------------------------------------------------------------------------
+#
+# Cache layout (C, R, D) — position-major — instead of (R, C, D):
+#
+# * Appending a frame is ONE contiguous (1, R, D) plane
+#   ``dynamic_update_slice`` in the host graph, which XLA performs in place
+#   on a donated buffer. The row-major layout needed the in-kernel
+#   append+write-back of an 8-column window (38.5 MB/step of hot-block
+#   writes at B=8) because a dim-2 dus scatters across every tile.
+# * The int8 tiling constraint (32-sublane granularity) moves off the
+#   position axis: blocks are (CB, RB, D) whose last two dims are
+#   (RB mult-of-32, D) — so an int8 KV cache works at ANY capacity,
+#   including the 16-frame serving config, halving attention HBM traffic.
+# * Per-(pos, row) f32 dequant scales live in a row-major (R, C) array so
+#   the lane dim equals the full array dim (the only legal sub-128 lane
+#   block shape); the int8 kernel transposes the small (RB, C) tile in VMEM.
+# * The append happens IN-KERNEL (caches aliased in/out, the new frame's
+#   plane written as a (1, RB, D) out block — legal at any dtype since the
+#   tiled dims are (RB, D)). A host-graph dynamic_update_slice instead makes
+#   XLA relayout the cache around the custom call: measured THREE full-cache
+#   copies per layer ({3,0,2,1} entry copy, dus copy, {2,1,0} kernel-operand
+#   copy), 2.9x the whole step time.
+
+
+def _pm_decode_kernel(len_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                      o_ref, ok_ref, ov_ref, m_ref, l_ref, acc_ref,
+                      *, num_heads, cache_block):
+    """bf16/fp32 pos-major decode with in-kernel append: grid (rows,
+    position-blocks), online softmax in VMEM scratch seeded by the new
+    frame; kv index_map clamps to the valid prefix so HBM reads scale with
+    cache_len; the new K/V plane is written once per row block."""
+    j = pl.program_id(1)
+    cache_len = len_ref[0]  # position the NEW frame takes
+    rb, d = q_ref.shape
+    cb = cache_block
+    h = num_heads
+    dh = d // h
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    seg = (d_idx // dh == h_idx).astype(jnp.float32)
+    seg_t = seg.T
+    mm_prec = (
+        jax.lax.Precision.HIGHEST
+        if k_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mm_prec,
+        )
+
+    q_f = q_ref[...].astype(jnp.float32)  # (RB, D)
+
+    @pl.when(j == 0)
+    def _():
+        # seed with the NEW position (always valid, the max so far):
+        kn = kn_ref[...].astype(jnp.float32)
+        s_new = mm(kn * q_f, seg) * (dh**-0.5)  # (RB, H)
+        m_ref[...] = s_new
+        l_ref[...] = jnp.ones_like(l_ref)
+        acc_ref[...] = vn_ref[...].astype(jnp.float32)
+
+    @pl.when(j * cb < cache_len)
+    def _():
+        k_t = k_ref[...].astype(jnp.float32)  # (CB, RB, D)
+        x = k_t * q_f[None]
+        scores = mm(x.reshape(cb * rb, d), seg).reshape(cb, rb, h) * (dh**-0.5)
+        pos = j * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, rb, h), 0)
+        scores = jnp.where(pos < cache_len, scores, NEG_INF)
+        m_new = jnp.maximum(m_ref[...], jnp.max(scores, axis=0))  # (RB, H)
+        corr = jnp.exp(m_ref[...] - m_new)
+        p = jnp.exp(scores - m_new[None])
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=0)
+        v_t = v_ref[...].astype(jnp.float32)
+        p_d = mm(p.reshape(cb * rb, h), seg_t).reshape(cb, rb, d)
+        acc_ref[...] = acc_ref[...] * mm(corr, seg_t) + jnp.sum(p_d * v_t, axis=0)
+        m_ref[...] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] / mm(l_ref[...], seg_t)).astype(o_ref.dtype)
+        ok_ref[...] = kn_ref[...].astype(ok_ref.dtype).reshape(1, rb, d)
+        ov_ref[...] = vn_ref[...].astype(ov_ref.dtype).reshape(1, rb, d)
+
+
+def fused_temporal_decode_pm(
+    q: jnp.ndarray,  # (R, D) — rows are (b, n) pairs, heads packed in D
+    k_new: jnp.ndarray,  # (R, D) new-frame keys (not yet in the cache)
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (C, R, D) pos-major, positions < cache_len valid
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,  # () int32 — position the new frame takes
+    *,
+    num_heads: int,
+    out_dtype=None,
+    row_block: int = 56,
+    cache_block: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pos-major bf16/fp32 append-and-attend decode. Returns (out (R, D),
+    k_cache, v_cache) with the caches threaded through the custom call
+    (input_output_aliases) and the new plane written in-kernel."""
+    c, r, d = k_cache.shape
+    cb = min(cache_block, c)
+    while c % cb:
+        cb -= 1
+    while r % row_block:
+        row_block -= 1
+    out_dtype = out_dtype or q.dtype
+    q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (cb, row_block, d),
+        # clamp to the last block holding positions < cache_len; compute is
+        # gated in-kernel, and Pallas skips the re-DMA when the clamped
+        # block index repeats, so reads are O(cache_len)
+        lambda i, j, l: (jnp.minimum(j, jnp.maximum(l[0] - 1, 0) // cb), i, 0),
+        memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, row_block, d), lambda i, j, l: (l[0], i, 0),
+                              memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_pm_decode_kernel, num_heads=num_heads,
+                          cache_block=cb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(r // row_block, c // cb),
+            in_specs=[q_spec, q_spec, q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, plane_spec, plane_spec),
+            scratch_shapes=[
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, d), jnp.float32),
+            ]),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # operand indices count the scalar-prefetch arg:
+        # (len, q, k_new, v_new, k_cache, v_cache)
+        input_output_aliases={4: 1, 5: 2},
+        interpret=interpret,
+    )(jnp.asarray([cache_len], jnp.int32).reshape(1), q, k_new, v_new,
+      k_cache, v_cache)
+    return out, k_out, v_out
+
+
+def _pm8_decode_kernel(len_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
+                       k_ref, v_ref, ks_ref, vs_ref, o_ref, ok_ref, ov_ref,
+                       m_ref, l_ref, acc_ref, kst_ref, vst_ref,
+                       *, num_heads, cache_block):
+    """int8 pos-major decode with in-kernel append: blocked online softmax
+    like the bf16 kernel (grid (rows, position-blocks)), dequant folded
+    post-reduction: score = ks * (q . k_i8), pv uses p * vs before the head
+    expand. The (RB, C) scale tiles are transposed ONCE per row block into
+    (C, RB) VMEM scratch so each position block takes a dynamic SUBLANE
+    slice (dynamic lane slicing is not lowerable). The new frame arrives
+    pre-quantized; its plane is written aliased, its scale column is dus'd
+    by the host (the (R, C) scale arrays are ~100 KB — the relayout copies
+    that killed the big-plane dus don't matter there)."""
+    j = pl.program_id(1)
+    cache_len = len_ref[0]
+    rb, d = q_ref.shape
+    cb = cache_block
+    h = num_heads
+    dh = d // h
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    seg = (d_idx // dh == h_idx).astype(jnp.float32)
+    seg_t = seg.T
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    q_f = q_ref[...].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        kst_ref[...] = jnp.swapaxes(ks_ref[...], 0, 1)  # (C, RB)
+        vst_ref[...] = jnp.swapaxes(vs_ref[...], 0, 1)
+        # seed with the new (dequantized) frame — always valid, max so far
+        kn_f = knq_ref[...].astype(jnp.float32) * kns_ref[...]
+        m_ref[...] = mm(kn_f * q_f, seg) * (dh**-0.5)  # (RB, H)
+        l_ref[...] = jnp.ones_like(l_ref)
+        acc_ref[...] = vnq_ref[...].astype(jnp.float32) * vns_ref[...]
+
+    @pl.when(j * cb < cache_len)
+    def _():
+        k_t = k_ref[...].astype(jnp.float32)  # (CB, RB, D)
+        x = k_t * q_f[None]
+        s = mm(x.reshape(cb * rb, d), seg).reshape(cb, rb, h)
+        s = s * (dh**-0.5) * kst_ref[pl.ds(j * cb, cb)][:, :, None]
+        pos = j * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, rb, h), 0)
+        s = jnp.where(pos < cache_len, s, NEG_INF)
+        m_new = jnp.maximum(m_ref[...], jnp.max(s, axis=0))
+        corr = jnp.exp(m_ref[...] - m_new)
+        e = jnp.exp(s - m_new[None])
+        l_ref[...] = l_ref[...] * corr + jnp.sum(e, axis=0)
+        v_t = v_ref[...].astype(jnp.float32)
+        p_d = mm((e * vst_ref[pl.ds(j * cb, cb)][:, :, None]).reshape(
+            cb * rb, h), seg_t).reshape(cb, rb, d)
+        acc_ref[...] = acc_ref[...] * mm(corr, seg_t) + jnp.sum(p_d * v_t, axis=0)
+        m_ref[...] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] / mm(l_ref[...], seg_t)).astype(o_ref.dtype)
+        ok_ref[...] = knq_ref[...].reshape(1, rb, d)
+        ov_ref[...] = vnq_ref[...].reshape(1, rb, d)
+
+
+def fused_temporal_decode_pm_int8(
+    q: jnp.ndarray,  # (R, D)
+    kn_q: jnp.ndarray,  # (R, D) int8 — pre-quantized new-frame keys
+    vn_q: jnp.ndarray,
+    kn_s: jnp.ndarray,  # (R, 1) f32 new-frame scales
+    vn_s: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (C, R, D) int8 pos-major, positions < len valid
+    v_cache: jnp.ndarray,
+    k_scale: jnp.ndarray,  # (R, C) f32 — row-major so lane dim = full C
+    v_scale: jnp.ndarray,
+    cache_len: jnp.ndarray,
+    *,
+    num_heads: int,
+    out_dtype=None,
+    row_block: int = 32,
+    cache_block: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pos-major int8 append-and-attend decode (fused dequant): HALF the
+    attention HBM traffic of bf16 at any capacity. Returns (out, k_cache,
+    v_cache); the caller dus's the small scale arrays. Row blocks must be
+    32-sublane (int8 tile granularity — init_cache pads rows)."""
+    c, r, d = k_cache.shape
+    while r % row_block or row_block % 32:
+        row_block -= 32
+    assert row_block > 0, f"rows {r} must have a 32-multiple divisor"
+    cb = min(cache_block, c)
+    while c % cb or cb % 8:
+        cb -= 1
+    out_dtype = out_dtype or q.dtype
+    q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((row_block, 1), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (cb, row_block, d),
+        lambda i, j, l: (jnp.minimum(j, jnp.maximum(l[0] - 1, 0) // cb), i, 0),
+        memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((row_block, c), lambda i, j, l: (i, 0),
+                           memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, row_block, d), lambda i, j, l: (l[0], i, 0),
+                              memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_pm8_decode_kernel, num_heads=num_heads,
+                          cache_block=cb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(r // row_block, c // cb),
+            in_specs=[q_spec, q_spec, q_spec, n_spec, n_spec,
+                      kv_spec, kv_spec, sc_spec, sc_spec],
+            out_specs=(q_spec, plane_spec, plane_spec),
+            scratch_shapes=[
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, d), jnp.float32),
+                pltpu.VMEM((c, row_block), jnp.float32),
+                pltpu.VMEM((c, row_block), jnp.float32),
+            ]),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_cache.shape, jnp.int8),
+        ),
+        # operands: (len, q, kn_q, vn_q, kn_s, vn_s, k, v, ks, vs)
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(jnp.asarray([cache_len], jnp.int32).reshape(1), q, kn_q, vn_q,
+      kn_s, vn_s, k_cache, v_cache, k_scale, v_scale)
+    return out, k_out, v_out
+
+
+# ---------------------------------------------------------------------------
 # fused full-clip temporal-causal attention (training/full-forward hot loop)
 # ---------------------------------------------------------------------------
 #

@@ -174,3 +174,84 @@ def test_fused_temporal_fullclip_matches_reference(rng):
     )(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4,
                                rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# pos-major cache layout kernels (the production streaming path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("clen", [0, 5, 15, 31])
+def test_fused_temporal_decode_pm_matches_oracle(rng, clen):
+    """Pos-major (C, R, D) append-and-attend == per-row oracle; the new
+    frame's plane is written in-kernel (caches aliased in/out)."""
+    r, c, h, dh = 56, 32, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((c, r, d)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((c, r, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    got, ko, vo = A.fused_temporal_decode_pm(
+        q, kn, vn, kc, vc, jnp.asarray(clen, jnp.int32), num_heads=h
+    )
+    k_full = np.asarray(kc).copy()
+    k_full[clen] = kn
+    v_full = np.asarray(vc).copy()
+    v_full[clen] = vn
+    ref = _decode_oracle(q, jnp.asarray(k_full).transpose(1, 0, 2),
+                         jnp.asarray(v_full).transpose(1, 0, 2), clen, h)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ko), k_full)
+    np.testing.assert_array_equal(np.asarray(vo), v_full)
+
+
+@pytest.mark.parametrize("clen", [0, 9, 15])
+def test_fused_temporal_decode_pm_int8(rng, clen):
+    """Pos-major int8 append-and-attend == attention over the dequantized
+    cache (per-(pos,row) scales); close to full precision."""
+    r, c, h, dh = 64, 16, 4, 16
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((c, r, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((c, r, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+
+    def quant(x):  # per-(pos, row) over D
+        ax = jnp.max(jnp.abs(x), axis=-1)
+        s = jnp.maximum(ax, 1e-8) / 127.0
+        qq = jnp.clip(jnp.round(x / s[..., None]), -127, 127)
+        return qq.astype(jnp.int8), s
+
+    ki, ks = quant(k)
+    vi, vs = quant(v)
+    kni, kns = quant(kn)
+    vni, vns = quant(vn)
+    got, ko, vo = A.fused_temporal_decode_pm_int8(
+        q, kni, vni, kns[:, None], vns[:, None],
+        ki, vi, jnp.swapaxes(ks, 0, 1), jnp.swapaxes(vs, 0, 1),
+        jnp.asarray(clen, jnp.int32), num_heads=h, out_dtype=jnp.float32,
+    )
+    # dequantized cache with the new plane appended
+    kd = np.array(ki.astype(jnp.float32) * ks[..., None])
+    vd = np.array(vi.astype(jnp.float32) * vs[..., None])
+    kd[clen] = np.asarray(kni.astype(jnp.float32) * kns[:, None])
+    vd[clen] = np.asarray(vni.astype(jnp.float32) * vns[:, None])
+    ref_deq = _decode_oracle(q, jnp.asarray(kd).transpose(1, 0, 2),
+                             jnp.asarray(vd).transpose(1, 0, 2), clen, h)
+    np.testing.assert_allclose(np.asarray(got), ref_deq, atol=2e-4, rtol=2e-4)
+    # the int8 planes were appended
+    ki_full = np.asarray(ki).copy()
+    ki_full[clen] = np.asarray(kni)
+    np.testing.assert_array_equal(np.asarray(ko), ki_full)
+    # quantization stays close to full precision
+    k_full = np.asarray(k).copy()
+    k_full[clen] = np.asarray(kn)
+    v_full = np.asarray(v).copy()
+    v_full[clen] = np.asarray(vn)
+    ref_full = _decode_oracle(q, jnp.asarray(k_full).transpose(1, 0, 2),
+                              jnp.asarray(v_full).transpose(1, 0, 2), clen, h)
+    g = np.asarray(got)
+    cos = (g * ref_full).sum() / np.sqrt((g**2).sum() * (ref_full**2).sum())
+    assert cos > 0.999, cos

@@ -97,9 +97,20 @@ def test_streaming_one_compiled_program():
 def test_cache_capacity_shapes_static():
     cache = encoder.init_cache(CFG, batch=3, capacity=32)
     assert len(cache["layers"]) == CFG.num_hidden_layers
-    # patch-row-major flat-D layout: (B, N, C, D) — each row's temporal
-    # window is one contiguous DMA for the fused decode kernel
+    # pos-major layout (default): flat (C, B·N, D) — 3-D on purpose (the
+    # 4-D shape gets a permuted XLA default layout that forces full-cache
+    # relayout copies around the decode kernel); appends are in-kernel
+    # plane writes on the aliased buffers
     assert cache["layers"][0]["k"].shape == (
+        32,
+        3 * CFG.num_patches,
+        CFG.hidden_size,
+    )
+    # row-major kept for the ring mode (scattered slot writes)
+    rm = encoder.init_cache(
+        CFG.replace(cache_layout="row_major"), batch=3, capacity=32
+    )
+    assert rm["layers"][0]["k"].shape == (
         3,
         CFG.num_patches,
         32,
