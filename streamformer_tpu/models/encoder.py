@@ -419,20 +419,65 @@ def spatial_attention(
     return dense(ctx, p["out"])
 
 
+def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h):
+    """Fused pos-major decode on flat-D rows: in-kernel plane append with
+    the caches aliased in/out (a host-graph dus makes XLA relayout the big
+    cache around the custom call — three full copies per layer, 2.9x step
+    time; see ops/attention.py pm notes). Returns (ctx (R, D), cache)."""
+    from streamformer_tpu.ops import attention as pops
+
+    r, d = q_rows.shape
+    quantized = "k_scale" in cache
+    r_pad = cache["k"].shape[1]  # int8 rows padded to the 32-sublane tile
+    if quantized:
+        knq, kns = quantize_kv(kn)  # per-row over D
+        vnq, vns = quantize_kv(vn)
+        if r_pad != r:
+            pad = [(0, r_pad - r), (0, 0)]
+            q_rows = jnp.pad(q_rows, pad)
+            knq = jnp.pad(knq, pad)
+            vnq = jnp.pad(vnq, pad)
+            kns = jnp.pad(kns, pad[:1])
+            vns = jnp.pad(vns, pad[:1])
+        ctx, k_out, v_out = pops.fused_temporal_decode_pm_int8(
+            q_rows, knq, vnq, kns[:, None], vns[:, None],
+            cache["k"], cache["v"],
+            cache["k_scale"], cache["v_scale"],
+            cache_len,
+            num_heads=h,
+            out_dtype=q_rows.dtype,
+        )
+        ctx = ctx[:r]
+        for key, s in (("k", kns), ("v", vns)):
+            cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
+                cache[f"{key}_scale"], s[:, None], (0, cache_len)
+            )
+    else:
+        # no attend_cap bucketing needed: the kv index_map clamps block
+        # reads to the valid prefix, so HBM traffic is O(cache_len)
+        ctx, k_out, v_out = pops.fused_temporal_decode_pm(
+            q_rows, kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype),
+            cache["k"], cache["v"],
+            cache_len,
+            num_heads=h,
+            out_dtype=q_rows.dtype,
+        )
+    cache["k"] = k_out
+    cache["v"] = v_out
+    return ctx, cache
+
+
 def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
                                 attend_cap):
-    """Streaming temporal attention on the pos-major (C, B, N, D) cache.
-
-    Appending the T new frames is one contiguous (T, B, N, D) plane
-    ``dynamic_update_slice`` (in place on a donated buffer — the row-major
-    layout needed an in-kernel write-back because a dim-2 dus scatters
-    across every tile). Attention then runs the pos-major fused kernel
-    (single new frame) or the einsum formulation. Returns (ctx, cache)
+    """Streaming temporal attention on the pos-major (C, B·N, D) cache —
+    einsum formulation (fp32 parity, multi-frame appends, non-causal; the
+    production t=1 decode takes the flat-D fused-kernel path in
+    ``temporal_attention`` and never reaches here). Returns (ctx, cache)
     with ctx (B, T, N, D); the caller applies the output projection.
 
     int8 caches store per-(pos, patch-row) absmax scales in a row-major
-    (B, N, C) array; the dequant is folded post-reduction in the kernel
-    (pooler cosine vs bf16 > 0.9999, tests/test_streaming.py).
+    (R, C) array; dequant happens on the read view here (the kernel path
+    folds it post-reduction).
     """
     b, t, n, h, dh = q.shape
     d = h * dh
@@ -446,50 +491,12 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
         _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
     )
     if use_kernel:
-        # the append happens IN-KERNEL with the cache aliased in/out: a
-        # host-graph dus makes XLA relayout the big cache around the custom
-        # call (three full copies per layer, 2.9x step time — see
-        # ops/attention.py pm notes)
-        from streamformer_tpu.ops import attention as pops
-
         q_rows = q[:, 0].reshape(r, d)  # (B, N, H, dh) is contiguous
         kn = k[:, 0].reshape(r, d)
         vn = v[:, 0].reshape(r, d)
-        if quantized:
-            knq, kns = quantize_kv(kn)  # per-row over D
-            vnq, vns = quantize_kv(vn)
-            if r_pad != r:
-                pad = [(0, r_pad - r), (0, 0)]
-                q_rows = jnp.pad(q_rows, pad)
-                knq = jnp.pad(knq, pad)
-                vnq = jnp.pad(vnq, pad)
-                kns = jnp.pad(kns, pad[:1])
-                vns = jnp.pad(vns, pad[:1])
-            ctx, k_out, v_out = pops.fused_temporal_decode_pm_int8(
-                q_rows, knq, vnq, kns[:, None], vns[:, None],
-                cache["k"], cache["v"],
-                cache["k_scale"], cache["v_scale"],
-                cache_len,
-                num_heads=h,
-                out_dtype=q.dtype,
-            )
-            ctx = ctx[:r]
-            for key, s in (("k", kns), ("v", vns)):
-                cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
-                    cache[f"{key}_scale"], s[:, None], (0, cache_len)
-                )
-        else:
-            # no attend_cap bucketing needed: the kv index_map clamps block
-            # reads to the valid prefix, so HBM traffic is O(cache_len)
-            ctx, k_out, v_out = pops.fused_temporal_decode_pm(
-                q_rows, kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype),
-                cache["k"], cache["v"],
-                cache_len,
-                num_heads=h,
-                out_dtype=q.dtype,
-            )
-        cache["k"] = k_out
-        cache["v"] = v_out
+        ctx, cache = _pm_kernel_dispatch(
+            q_rows, kn, vn, cache, cache_len, cfg, h
+        )
         return ctx.reshape(b, 1, n, d), cache
 
     # einsum fallback (fp32 parity, multi-frame appends, non-causal):
@@ -592,6 +599,30 @@ def temporal_attention(
         )
         ctx = ctx.reshape(b, n, t, d).transpose(0, 2, 1, 3)
         return dense(ctx, p["out"])
+
+    if (
+        cache_kv is not None
+        and cfg.cache_layout == "pos_major"
+        and cfg.cache_mode != "ring"
+        and t == 1
+        and causal
+        and _use_pallas(cfg)
+        and cfg.use_pallas_streaming
+    ):
+        # production streaming decode: flat-D lane slices of the fused qkv —
+        # the (B,T,N,H,dh) head split the generic path builds costs ~2.7x
+        # tile-padded materializations plus a relayout back to flat rows
+        cache = dict(cache_kv)
+        d_ = d
+        qkv = dense(x, p["qkv"])  # (B, 1, N, 3D)
+        r = b * n
+        ctx, cache = _pm_kernel_dispatch(
+            qkv[..., :d_].reshape(r, d_),
+            qkv[..., d_ : 2 * d_].reshape(r, d_),
+            qkv[..., 2 * d_ :].reshape(r, d_),
+            cache, cache_len, cfg, h,
+        )
+        return dense(ctx.reshape(b, 1, n, d_), p["out"]), cache
 
     scale = cfg.head_dim**-0.5
     q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
