@@ -229,6 +229,37 @@ def main():
         tq2 = min(timed_q(k2) for _ in range(reps))
         fps_int8 = batch / ((tq2 - tq1) / (k2 - k1))
 
+    # unbounded streaming: ring (sliding-window) cache mode — same fused
+    # kernel with the plane write at slot (len mod C) and the
+    # slot-exclusion mask; len pinned deep past capacity so every step is
+    # post-wraparound steady state
+    fps_ring = None
+    if on_tpu:
+        cfg_ring = cfg.replace(cache_mode="ring", cache_layout="pos_major")
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step_r(params, frame, c):
+            c = {**c, "len": jnp.full((), 10_000, jnp.int32)}
+            out, c = encoder.streaming_forward(params, frame, c, cfg_ring)
+            return out["pooler_output"], c
+
+        cr = encoder.init_cache(cfg_ring, batch=batch)
+        pooled, cr = step_r(params, frame, cr)
+        _ = float(jnp.sum(pooled))
+
+        def timed_r(k):
+            nonlocal cr
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, cr = step_r(params, frame, cr)
+            _ = float(jnp.sum(pooled))
+            return time.perf_counter() - t0
+
+        tr1 = min(timed_r(k1) for _ in range(reps))
+        tr2 = min(timed_r(k2) for _ in range(reps))
+        fps_ring = batch / ((tr2 - tr1) / (k2 - k1))
+
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
     if (
@@ -255,6 +286,7 @@ def main():
         "fps_512f_context_batch2": round(fps_512, 2) if fps_512 else None,
         "fps_512_int8kv": round(fps_512_int8kv, 2) if fps_512_int8kv else None,
         "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
+        "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
     }
     print(json.dumps(result))
     print(

@@ -102,6 +102,15 @@ class TimesformerVisionTower:
 
         if self._cache is None:
             self._cache = encoder.init_cache(self.cfg, batch=b)
+        if self.cfg.cache_mode != "ring":
+            total = int(self._cache["len"]) + px.shape[1]
+            if total > self.cfg.cache_capacity:
+                raise ValueError(
+                    f"stream length {total} exceeds cache_capacity "
+                    f"{self.cfg.cache_capacity} in linear cache mode; use "
+                    "cache_mode='ring' for unbounded streams (sliding "
+                    "window in fixed HBM) or clear_cache() to restart"
+                )
         out, self._cache = self._step(self.params, px, self._cache)
         new = out["last_hidden_state"]  # (B, T_new, N, D)
         self._history = (

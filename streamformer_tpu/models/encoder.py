@@ -448,9 +448,13 @@ def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h):
             out_dtype=q_rows.dtype,
         )
         ctx = ctx[:r]
+        cap = cache["k"].shape[0]
         for key, s in (("k", kns), ("v", vns)):
+            # column cache_len mod C: identity for the linear cache,
+            # wrap-around slot for the ring mode (matches the kernel's
+            # plane write)
             cache[f"{key}_scale"] = jax.lax.dynamic_update_slice(
-                cache[f"{key}_scale"], s[:, None], (0, cache_len)
+                cache[f"{key}_scale"], s[:, None], (0, cache_len % cap)
             )
     else:
         # no attend_cap bucketing needed: the kv index_map clamps block
@@ -464,6 +468,86 @@ def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h):
         )
     cache["k"] = k_out
     cache["v"] = v_out
+    return ctx, cache
+
+
+def _ring_attend_pos_major(q, k, v, cache, cache_len, cfg, causal):
+    """Ring (sliding-window) attention on the pos-major cache — einsum
+    formulation for multi-frame appends / fp32 parity (the production t=1
+    decode takes the fused-kernel path, whose slot-mod plane write and
+    slot-exclusion mask implement the same window).
+
+    Queries attend to the PRE-write cache plus the in-chunk keys: writing
+    all T new frames before attention would evict up to T-1 old keys still
+    inside the earliest queries' windows. Same mask math as the row-major
+    ring branch; only the cache views/writes differ.
+    """
+    b, t, n, h, dh = q.shape
+    d = h * dh
+    cap = cache["k"].shape[0]
+    r = b * n
+    r_pad = cache["k"].shape[1]
+    quantized = "k_scale" in cache
+
+    def view(key):  # (B, N, C, H, dh) pre-write window view
+        arr = cache[key][:, :r].transpose(1, 0, 2)  # (R, C, D)
+        arr = arr.reshape(b, n, cap, h, dh)
+        if quantized:
+            sc = cache[f"{key}_scale"][:r].reshape(b, n, cap)
+            return (arr.astype(jnp.float32) * sc[..., None, None]).astype(
+                q.dtype
+            )
+        return arr.astype(q.dtype)
+
+    scale = dh**-0.5
+    scores_old = jnp.einsum(
+        "bqnhd,bnkhd->bnhqk", q, view("k"), preferred_element_type=jnp.float32
+    ) * scale
+    scores_new = jnp.einsum(
+        "bqnhd,bknhd->bnhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    qpos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+    # slot s holds the newest absolute position p ≡ s (mod cap) with
+    # p < cache_len; unwritten slots give p < 0
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+    kpos_old = s_idx + cap * jnp.floor_divide(cache_len - 1 - s_idx, cap)
+    if causal:
+        ok_old = (kpos_old >= 0) & (kpos_old > qpos - cap)
+    else:
+        last = cache_len + t - 1
+        ok_old = (kpos_old >= 0) & (kpos_old > last - cap)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    ok_new = (jj <= ii) if causal else jnp.ones((t, t), bool)
+    scores = jnp.concatenate(
+        [
+            jnp.where(ok_old[None, None, None], scores_old, -jnp.inf),
+            jnp.where(ok_new[None, None, None], scores_new, -jnp.inf),
+        ],
+        axis=-1,
+    )
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    vals = jnp.concatenate(
+        [view("v").transpose(0, 2, 1, 3, 4), v], axis=1
+    )
+    ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, vals).reshape(b, t, n, d)
+
+    # wrap-around write AFTER attention: slot = position mod capacity
+    slots = (cache_len + jnp.arange(t)) % cap
+    k_p = k.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
+    v_p = v.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
+    for key, val in (("k", k_p), ("v", v_p)):
+        if quantized:
+            qv, s = quantize_kv(val)  # per-(t, row) over D
+            if r_pad != r:
+                qv = jnp.pad(qv, [(0, 0), (0, r_pad - r), (0, 0)])
+                s = jnp.pad(s, [(0, 0), (0, r_pad - r)])
+            cache[key] = cache[key].at[slots].set(qv)
+            cache[f"{key}_scale"] = cache[f"{key}_scale"].at[:, slots].set(s.T)
+        else:
+            cache[key] = cache[key].at[slots].set(
+                val.astype(cache[key].dtype)
+            )
     return ctx, cache
 
 
@@ -603,12 +687,14 @@ def temporal_attention(
     if (
         cache_kv is not None
         and cfg.cache_layout == "pos_major"
-        and cfg.cache_mode != "ring"
         and t == 1
         and causal
         and _use_pallas(cfg)
         and cfg.use_pallas_streaming
     ):
+        # serves BOTH cache modes: the kernels' plane write lands at slot
+        # (len mod C) and the slot-exclusion mask turns the same program
+        # into a sliding window when cfg.cache_mode == "ring"
         # production streaming decode: flat-D lane slices of the fused qkv —
         # the (B,T,N,H,dh) head split the generic path builds costs ~2.7x
         # tile-padded materializations plus a relayout back to flat rows
@@ -648,10 +734,15 @@ def temporal_attention(
         return dense(ctx, p["out"])
 
     cache = dict(cache_kv)
-    if cfg.cache_layout == "pos_major" and cfg.cache_mode != "ring":
-        ctx, cache = _streaming_attend_pos_major(
-            q, k, v, cache, cache_len, cfg, causal, attend_cap
-        )
+    if cfg.cache_layout == "pos_major":
+        if cfg.cache_mode == "ring":
+            ctx, cache = _ring_attend_pos_major(
+                q, k, v, cache, cache_len, cfg, causal
+            )
+        else:
+            ctx, cache = _streaming_attend_pos_major(
+                q, k, v, cache, cache_len, cfg, causal, attend_cap
+            )
         return dense(ctx, p["out"]), cache
     quantized = "k_scale" in cache
     cap = cache["k"].shape[2]
@@ -1049,9 +1140,10 @@ def init_cache(
     # precedence: explicit dtype arg > cfg.cache_dtype > cfg.dtype
     cache_dt = dtype if dtype is not None else (cfg.cache_dtype or cfg.dtype)
     h = cfg.num_attention_heads
-    # the ring (sliding-window) mode writes scattered slots and keeps the
-    # row-major layout; the linear mode defaults to pos-major (config.py)
-    pos_major = cfg.cache_layout == "pos_major" and cfg.cache_mode != "ring"
+    # pos-major serves both the linear and the ring (sliding-window) modes:
+    # the fused kernel's plane write at slot (len mod C) plus the
+    # slot-exclusion mask make the same kernel a sliding window
+    pos_major = cfg.cache_layout == "pos_major"
 
     if pos_major:
         # position-major (C, B·N, D), flat 3-D ON PURPOSE: XLA gives the

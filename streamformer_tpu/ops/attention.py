@@ -610,7 +610,14 @@ def _pm_decode_kernel(len_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
         x = k_t * q_f[None]
         scores = mm(x.reshape(cb * rb, d), seg).reshape(cb, rb, h) * (dh**-0.5)
         pos = j * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, rb, h), 0)
-        scores = jnp.where(pos < cache_len, scores, NEG_INF)
+        # slot valid iff it holds a real position (< cache_len) and is not
+        # the slot the NEW frame overwrites (seeded at j == 0). With the
+        # linear cache (cache_len < C) the mod term is a no-op; with the
+        # ring it makes the same kernel a sliding window over the last C
+        # frames (slot s holds the newest position ≡ s mod C).
+        c_total = pl.num_programs(1) * cb
+        ok = (pos < cache_len) & (pos != cache_len % c_total)
+        scores = jnp.where(ok, scores, NEG_INF)
         m_new = jnp.maximum(m_ref[...], jnp.max(scores, axis=0))  # (RB, H)
         corr = jnp.exp(m_ref[...] - m_new)
         p = jnp.exp(scores - m_new[None])
@@ -660,7 +667,10 @@ def fused_temporal_decode_pm(
         # block index repeats, so reads are O(cache_len)
         lambda i, j, l: (jnp.minimum(j, jnp.maximum(l[0] - 1, 0) // cb), i, 0),
         memory_space=pltpu.VMEM)
-    plane_spec = pl.BlockSpec((1, row_block, d), lambda i, j, l: (l[0], i, 0),
+    # plane index mod C: identity for the linear cache, wrap-around slot
+    # for the ring (sliding-window) mode — same kernel serves both
+    plane_spec = pl.BlockSpec((1, row_block, d),
+                              lambda i, j, l: (l[0] % c, i, 0),
                               memory_space=pltpu.VMEM)
     out, k_out, v_out = pl.pallas_call(
         functools.partial(_pm_decode_kernel, num_heads=num_heads,
@@ -735,7 +745,10 @@ def _pm8_decode_kernel(len_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
         s = mm(x.reshape(cb * rb, d), seg).reshape(cb, rb, h)
         s = s * (dh**-0.5) * kst_ref[pl.ds(j * cb, cb)][:, :, None]
         pos = j * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, rb, h), 0)
-        s = jnp.where(pos < cache_len, s, NEG_INF)
+        # linear + ring mask (see _pm_decode_kernel note)
+        c_total = pl.num_programs(1) * cb
+        ok = (pos < cache_len) & (pos != cache_len % c_total)
+        s = jnp.where(ok, s, NEG_INF)
         m_new = jnp.maximum(m_ref[...], jnp.max(s, axis=0))
         corr = jnp.exp(m_ref[...] - m_new)
         e = jnp.exp(s - m_new[None])
@@ -793,7 +806,8 @@ def fused_temporal_decode_pm_int8(
         memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((row_block, c), lambda i, j, l: (i, 0),
                            memory_space=pltpu.VMEM)
-    plane_spec = pl.BlockSpec((1, row_block, d), lambda i, j, l: (l[0], i, 0),
+    plane_spec = pl.BlockSpec((1, row_block, d),
+                              lambda i, j, l: (l[0] % c, i, 0),
                               memory_space=pltpu.VMEM)
     out, k_out, v_out = pl.pallas_call(
         functools.partial(_pm8_decode_kernel, num_heads=num_heads,

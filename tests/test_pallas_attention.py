@@ -255,3 +255,37 @@ def test_fused_temporal_decode_pm_int8(rng, clen):
     g = np.asarray(got)
     cos = (g * ref_full).sum() / np.sqrt((g**2).sum() * (ref_full**2).sum())
     assert cos > 0.999, cos
+
+
+@pytest.mark.parametrize("clen", [33, 40, 63])
+def test_fused_temporal_decode_pm_ring_wraparound(rng, clen):
+    """cache_len beyond capacity: the plane write wraps to slot
+    (clen mod C) and the slot-exclusion mask yields exactly the sliding
+    window over the last C frames (ring mode on the same kernel)."""
+    r, c, h, dh = 56, 32, 4, 16
+    d = h * dh
+    # full history of per-position K/V; the ring cache holds the last C
+    hist_k = rng.standard_normal((clen + 1, r, d)).astype(np.float32)
+    hist_v = rng.standard_normal((clen + 1, r, d)).astype(np.float32)
+    kc = np.zeros((c, r, d), np.float32)
+    vc = np.zeros((c, r, d), np.float32)
+    for p_abs in range(clen):  # pre-write cache: positions < clen
+        kc[p_abs % c] = hist_k[p_abs]
+        vc[p_abs % c] = hist_v[p_abs]
+    q = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    kn = jnp.asarray(hist_k[clen])
+    vn = jnp.asarray(hist_v[clen])
+    got, ko, vo = A.fused_temporal_decode_pm(
+        q, kn, vn, jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(clen, jnp.int32), num_heads=h,
+    )
+    # oracle: window = positions (clen - c, clen]
+    lo = clen + 1 - c
+    wk = hist_k[lo : clen + 1].transpose(1, 0, 2)  # (R, W, D)
+    wv = hist_v[lo : clen + 1].transpose(1, 0, 2)
+    ref = _decode_oracle(q, jnp.asarray(wk), jnp.asarray(wv), c - 1, h)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
+    # the new plane landed at slot clen mod C
+    kc_after = kc.copy()
+    kc_after[clen % c] = hist_k[clen]
+    np.testing.assert_array_equal(np.asarray(ko), kc_after)

@@ -55,8 +55,8 @@ def test_ring_attention_matches_windowed_reference(rng):
     ]
     b, n = 2, 3
     cap = 4
-    cache = {"k": jnp.zeros((b, n, cap, h * cfg.head_dim)),
-             "v": jnp.zeros((b, n, cap, h * cfg.head_dim))}
+    cache = encoder.init_cache(cfg, batch=b, num_patches=n, capacity=cap)
+    cache = {"k": cache["layers"][0]["k"], "v": cache["layers"][0]["v"]}
     k_hist, v_hist = [], []
     for step in range(9):
         x = jnp.asarray(rng.standard_normal((b, 1, n, d)).astype(np.float32))
@@ -93,8 +93,8 @@ def test_ring_attention_multiframe_matches_windowed_reference(rng, t_chunk):
     ]
     b, n = 2, 3
     cap = 4
-    cache = {"k": jnp.zeros((b, n, cap, h * cfg.head_dim)),
-             "v": jnp.zeros((b, n, cap, h * cfg.head_dim))}
+    cache = encoder.init_cache(cfg, batch=b, num_patches=n, capacity=cap)
+    cache = {"k": cache["layers"][0]["k"], "v": cache["layers"][0]["v"]}
     k_hist, v_hist = [], []
     pos = 0
     for _ in range(4):  # enough chunks to wrap the ring multiple times
