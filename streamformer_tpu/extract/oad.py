@@ -50,8 +50,16 @@ def extract_features_streaming(
     chunk: int = 16,
     capacity: Optional[int] = None,
 ) -> np.ndarray:
-    """One causal pass over the video; returns (L, D) per-frame features."""
+    """One causal pass over the video; returns (L, D) per-frame features.
+
+    Uses the ring (sliding-window) cache mode: every frame attends exactly
+    the last ``capacity`` frames with no context resets (a linear cache
+    would have to restart when full, dropping history at window
+    boundaries). The window contains the reference's 6-frame context
+    (extract_oad_feature.py:34-35), so features are at least as informed at
+    O(L) total encode cost instead of O(L * window)."""
     capacity = capacity or cfg.cache_capacity
+    cfg = cfg.replace(cache_mode="ring", cache_capacity=capacity)
     l = pixel_values.shape[0]
     pad = (-l) % chunk
     if pad:
@@ -68,10 +76,6 @@ def extract_features_streaming(
     feats = []
     for i in range(n_chunks):
         clip = pixel_values[i * chunk : (i + 1) * chunk][None]  # (1, chunk, C, H, W)
-        # bounded context: restart the cache when the window fills (sliding
-        # ring-buffer eviction lands with the Pallas cache kernel)
-        if int(cache["len"]) + chunk > capacity:
-            cache = encoder.init_cache(cfg, batch=1, capacity=capacity)
         out, cache = step(params, clip.astype(jnp.dtype(cfg.dtype)), cache)
         feats.append(np.asarray(out["pooler_output"][0], np.float32))
     out = np.concatenate(feats, axis=0)

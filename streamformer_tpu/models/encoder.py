@@ -136,7 +136,14 @@ def act_fn(x: jnp.ndarray, name: str = "gelu") -> jnp.ndarray:
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.gelu(x, approximate=False)
+    """erf GELU (the reference MLP act), tanh-approximated under bf16.
+
+    The erf costs ~42 us/layer of VPU time on the (B·N, 4D) intermediate
+    (measured: 130 -> 88 us per MLP at B=8); max |erf - tanh| ~ 3e-3 sits
+    below bf16 resolution at the same magnitudes, so bf16 compute keeps the
+    fast form while fp32 (parity) runs stay exact.
+    """
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 
 
 def dropout(x, rate, rng, deterministic):
