@@ -97,6 +97,7 @@ def measure_torch_reference(batch: int = 1, context: int = 16, steps: int = 3):
 
 
 def main():
+    t_start = time.perf_counter()
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         # the BASELINE.json metric is 16-frame-context streaming encode —
@@ -162,6 +163,11 @@ def main():
     # bf16 512-cap cache at batch 8 exceeds HBM) — the decode is HBM-bound
     # on the KV reads; the int8-KV variant halves that traffic (pos-major
     # cache, fused dequant; rows padded to the 32-sublane int8 tile).
+    # every secondary metric is time-guarded so the bench always emits its
+    # line within the driver budget even on a cold compile cache
+    def budget_left(limit_s):
+        return time.perf_counter() - t_start < limit_s
+
     fps_512 = None
     fps_512_int8kv = None
     if on_tpu:
@@ -192,15 +198,17 @@ def main():
             t2 = min(timed512(23) for _ in range(reps))
             return b512 / ((t2 - t1) / 20)
 
-        fps_512 = measure_512(cfg.replace(cache_capacity=512))
-        fps_512_int8kv = measure_512(
-            cfg.replace(cache_capacity=512, cache_dtype="int8")
-        )
+        if budget_left(180):
+            fps_512 = measure_512(cfg.replace(cache_capacity=512))
+        if budget_left(240):
+            fps_512_int8kv = measure_512(
+                cfg.replace(cache_capacity=512, cache_dtype="int8")
+            )
 
     # int8 serving path: per-column int8 weights + dynamic per-row activation
     # quant (ops/quant.py) — the step is MXU-bound, v5e int8 peak is 2x bf16
     fps_int8 = None
-    if on_tpu:
+    if on_tpu and budget_left(300):
         from streamformer_tpu.ops import quant
 
         qparams = jax.tree.map(lambda x: x, params)
@@ -234,7 +242,7 @@ def main():
     # slot-exclusion mask; len pinned deep past capacity so every step is
     # post-wraparound steady state
     fps_ring = None
-    if on_tpu:
+    if on_tpu and budget_left(360):
         cfg_ring = cfg.replace(cache_mode="ring", cache_layout="pos_major")
 
         @partial(jax.jit, donate_argnums=(2,))
@@ -259,6 +267,68 @@ def main():
         tr1 = min(timed_r(k1) for _ in range(reps))
         tr2 = min(timed_r(k2) for _ in range(reps))
         fps_ring = batch / ((tr2 - tr1) / (k2 - k1))
+
+    # training throughput: full fwd+bwd+adamw on the flagship encoder with
+    # an AR-style classification loss (16-frame clips, bf16). Soft time
+    # guard keeps the whole bench inside the driver budget.
+    train_cps = None
+    train_mfu = None
+    if on_tpu and budget_left(420):
+        try:
+            import optax
+
+            tx = optax.adamw(1e-4)
+            w_cls = jnp.asarray(
+                np.random.default_rng(1).standard_normal(
+                    (cfg.hidden_size, 400)
+                ) * 0.02,
+                jnp.bfloat16,
+            )
+            clips = jnp.asarray(
+                np.random.default_rng(2).standard_normal(
+                    (batch, cfg.num_frames, 3, cfg.image_size, cfg.image_size)
+                ),
+                jnp.bfloat16,
+            )
+            labels = jnp.zeros((batch,), jnp.int32)
+            opt_state = tx.init(params)
+
+            def loss_fn(p):
+                out = encoder.model_forward(p, clips, cfg)
+                logits = out["pooler_output"][:, -1] @ w_cls
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels
+                ).mean()
+
+            @jax.jit
+            def train_step(p, s):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = tx.update(grads, s, p)
+                return optax.apply_updates(p, updates), s, loss
+
+            p_t, opt_state, loss = train_step(params, opt_state)
+            _ = float(loss)
+
+            def timed_t(k):
+                nonlocal p_t, opt_state
+                t0 = time.perf_counter()
+                loss = None
+                for _ in range(k):
+                    p_t, opt_state, loss = train_step(p_t, opt_state)
+                _ = float(loss)
+                return time.perf_counter() - t0
+
+            tt1 = min(timed_t(2) for _ in range(reps))
+            tt2 = min(timed_t(6) for _ in range(reps))
+            dt_t = (tt2 - tt1) / 4
+            train_cps = batch / dt_t
+            # fwd + bwd ~ 3x forward FLOPs; full clip = T-frame "step"
+            fl_t = 3 * profiling.streaming_step_flops(
+                cfg, batch, cfg.num_frames, t_new=cfg.num_frames
+            )
+            train_mfu = fl_t / dt_t / 1e12 / 197.0
+        except Exception as e:  # never break the bench line
+            print(f"# train-step bench skipped: {e}", file=sys.stderr)
 
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
@@ -287,6 +357,8 @@ def main():
         "fps_512_int8kv": round(fps_512_int8kv, 2) if fps_512_int8kv else None,
         "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
         "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
+        "train_clips_per_sec": round(train_cps, 2) if train_cps else None,
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
     }
     print(json.dumps(result))
     print(

@@ -94,3 +94,46 @@ def test_sequence_parallel_patch_axis(mesh, rng):
         )(params_s, px_s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_sharded_streaming_cache_matches_single_device(mesh, rng):
+    """DP serving: batch-sharded streaming with the pos-major cache. The
+    flat (C, B·N, D) cache shards on dim 1 — rows are b-major, so equal
+    chunks align with batch boundaries when B % n_shards == 0 — and the
+    sharded step must equal the unsharded one."""
+    from jax.sharding import NamedSharding
+
+    b = 2 * mesh.shape["data"]
+    params = encoder.init_params(jax.random.PRNGKey(0), CFG)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.7)
+    px = jnp.asarray(
+        rng.standard_normal((b, 3, 3, 32, 32)).astype(np.float32)
+    )
+
+    def run(shard):
+        cache = encoder.init_cache(CFG, batch=b)
+        if shard:
+            px_s = jax.device_put(px, NamedSharding(mesh, P("data")))
+            cache = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(
+                        mesh, P(*([None, "data"] + [None] * (x.ndim - 2)))
+                    ),
+                )
+                if x.ndim >= 2
+                else x,
+                cache,
+            )
+        else:
+            px_s = px
+        outs = []
+        for t in range(3):
+            out, cache = encoder.streaming_forward(
+                params, px_s[:, t : t + 1], cache, CFG
+            )
+            outs.append(np.asarray(out["pooler_output"], np.float32))
+        return np.concatenate(outs, axis=1)
+
+    np.testing.assert_allclose(run(True), run(False), atol=1e-5, rtol=1e-5)
