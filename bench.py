@@ -330,6 +330,38 @@ def main():
         except Exception as e:  # never break the bench line
             print(f"# train-step bench skipped: {e}", file=sys.stderr)
 
+    # BASELINE.json config #2: the on-device Kinetics train-augment pipeline
+    # (rand_augment + random-resized-crop + flip + normalize + random
+    # erasing), decoded-uint8 -> model input, batched 16-frame clips
+    preproc_fps = None
+    if on_tpu and budget_left(480):
+        try:
+            from streamformer_tpu.data.collate import make_train_augment
+
+            aug = make_train_augment(crop_size=cfg.image_size)
+            clips_u8 = jnp.asarray(
+                np.random.default_rng(3).integers(
+                    0, 256, (batch, 16, 256, 320, 3), dtype=np.uint8
+                )
+            )
+            rngk = jax.random.PRNGKey(0)
+            out = aug(rngk, clips_u8)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+
+            def timed_p(k):
+                t0 = time.perf_counter()
+                out = None
+                for i in range(k):
+                    out = aug(jax.random.fold_in(rngk, i), clips_u8)
+                _ = float(jnp.sum(out.astype(jnp.float32)))
+                return time.perf_counter() - t0
+
+            tp1 = min(timed_p(2) for _ in range(reps))
+            tp2 = min(timed_p(10) for _ in range(reps))
+            preproc_fps = batch * 16 / ((tp2 - tp1) / 8)
+        except Exception as e:
+            print(f"# preprocessing bench skipped: {e}", file=sys.stderr)
+
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
     if (
@@ -359,6 +391,10 @@ def main():
         "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
         "train_clips_per_sec": round(train_cps, 2) if train_cps else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "p50_latency_ms_per_frame": round(dt * 1e3, 2),
+        "preprocess_fps_on_device": (
+            round(preproc_fps, 1) if preproc_fps else None
+        ),
     }
     print(json.dumps(result))
     print(

@@ -40,11 +40,15 @@ def make_train_augment(
     """Jitted per-clip train augmentation on device (the reference Kinetics
     recipe, kinetics_sparse.py:317-377)."""
 
-    def aug_one(rng, clip_u8):
+    from streamformer_tpu.data.rand_augment import RAND_TRANSFORMS, parse_config
+
+    n_layers = parse_config(ra_config)["num_layers"]
+
+    def aug_one(rng, clip_u8, op_indices):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         x = clip_u8.astype(jnp.float32)
         if use_rand_augment:
-            x = rand_augment(k1, x, ra_config)
+            x = rand_augment(k1, x, ra_config, op_indices=op_indices)
         x = x / 255.0
         x = T.random_resized_crop(k2, x, (crop_size, crop_size))
         x = T.random_horizontal_flip(k3, x)
@@ -55,8 +59,18 @@ def make_train_augment(
 
     @jax.jit
     def aug_batch(rng, clips_u8):  # (B, T, H, W, C) uint8
+        k_ops, rng = jax.random.split(rng)
+        # op choice drawn ONCE per batch, OUTSIDE the vmap: a batched switch
+        # index would make XLA run every augment branch for every sample
+        # (~30x the work — see rand_augment TPU note); per-sample magnitude
+        # jitter, apply-probability, crops and erasing keep their diversity
+        op_indices = jax.random.randint(
+            k_ops, (n_layers,), 0, len(RAND_TRANSFORMS)
+        )
         keys = jax.random.split(rng, clips_u8.shape[0])
-        return jax.vmap(aug_one)(keys, clips_u8)
+        return jax.vmap(aug_one, in_axes=(0, 0, None))(
+            keys, clips_u8, op_indices
+        )
 
     return aug_batch
 
