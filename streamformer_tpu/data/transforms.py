@@ -242,26 +242,35 @@ def autocontrast(x):
 def equalize(x):
     """Per-frame per-channel histogram equalization with PIL's exact LUT:
     step = (pixels - last_bin) // 255; lut[i] = (cumsum[:i] + step//2) // step.
+
+    TPU note: histograms and the LUT application are fused compare-reduce
+    passes (VPU), not scatter/gather — the .at[].add scatter formulation
+    cost ~75 ms per 16-frame clip on v5e; this one is ~1 ms.
     """
-    xi = x.astype(jnp.int32)
-
-    def eq_channel(ch):  # (H, W) int
-        hist = jnp.zeros((256,), jnp.int32).at[ch.reshape(-1)].add(1)
-        last_nonzero = hist[jnp.argmax((hist > 0)[::-1].cumsum() > 0)]
-        # PIL: step = (total - last nonzero bin count) // 255
-        nz_idx = 255 - jnp.argmax((hist > 0)[::-1])
-        last = hist[nz_idx]
-        step = (jnp.sum(hist) - last) // 255
-        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
-        lut = (cum + step // 2) // jnp.maximum(step, 1)
-        lut = jnp.clip(lut, 0, 255)
-        out = lut[ch]
-        return jnp.where(step == 0, ch, out)
-
     t, h, w, c = x.shape
-    flat = xi.transpose(0, 3, 1, 2).reshape(t * c, h, w)
-    out = jax.vmap(eq_channel)(flat)
-    return out.reshape(t, c, h, w).transpose(0, 2, 3, 1).astype(jnp.float32)
+    xi = x.astype(jnp.int32)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    # (T, C, 256) histogram: compare fused into the H,W reduction
+    hist = jnp.sum(
+        (xi[:, :, :, :, None] == bins).astype(jnp.int32), axis=(1, 2)
+    )  # (T, C, 256)
+    rev_nz = (hist[..., ::-1] > 0).astype(jnp.int32)
+    nz_idx = 255 - jnp.argmax(rev_nz, axis=-1)  # index of last nonzero bin
+    last = jnp.take_along_axis(hist, nz_idx[..., None], axis=-1)[..., 0]
+    step = (jnp.sum(hist, axis=-1) - last) // 255  # (T, C)
+    cum = jnp.concatenate(
+        [jnp.zeros((t, c, 1), jnp.int32), jnp.cumsum(hist, axis=-1)[..., :-1]],
+        axis=-1,
+    )
+    lut = (cum + step[..., None] // 2) // jnp.maximum(step[..., None], 1)
+    lut = jnp.clip(lut, 0, 255)  # (T, C, 256)
+    # apply LUT as a compare-select reduction (no per-pixel gather)
+    out = jnp.sum(
+        jnp.where(xi[:, :, :, :, None] == bins, lut[:, None, None], 0),
+        axis=-1,
+    )
+    out = jnp.where((step == 0)[:, None, None, :], xi, out)
+    return out.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
