@@ -316,20 +316,73 @@ def _affine_warp(x, matrix, fill=128.0):
     return out
 
 
+def _resample_rows(x, src_x, fill):
+    """Per-row 1-D bilinear resample along W as a one-hot MXU matmul.
+
+    src_x: (H, W_dst) fractional source x per output pixel. The 2-tap lerp
+    weights become an (H, W_dst, W_src) matrix contracted on the MXU —
+    TPU gathers scalarize (~5-8 ms per 16-frame clip for the gather warp vs
+    <1 ms here); HIGHEST precision keeps the f32 lerp exact.
+    """
+    t, h, w, c = x.shape
+    x0 = jnp.floor(src_x)
+    wx = src_x - x0
+    src = jnp.arange(w)[None, None, :]
+    in0 = (x0 >= 0) & (x0 < w)
+    in1 = (x0 + 1 >= 0) & (x0 + 1 < w)
+    m0 = (src == jnp.clip(x0, 0, w - 1)[..., None]) & in0[..., None]
+    m1 = (src == jnp.clip(x0 + 1, 0, w - 1)[..., None]) & in1[..., None]
+    wmat = m0 * (1.0 - wx)[..., None] + m1 * wx[..., None]  # (H, Wd, Ws)
+    out = jnp.einsum(
+        "thwc,hjw->thjc", x, wmat.astype(x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    oob = 1.0 - jnp.sum(wmat, axis=-1)  # fill weight mass per (h, j)
+    return out + fill * oob[None, :, :, None]
+
+
+def _resample_cols(x, src_y, fill):
+    """Per-column 1-D bilinear resample along H (see _resample_rows).
+    src_y: (W, H_dst) fractional source y per output pixel."""
+    t, h, w, c = x.shape
+    y0 = jnp.floor(src_y)
+    wy = src_y - y0
+    src = jnp.arange(h)[None, None, :]
+    in0 = (y0 >= 0) & (y0 < h)
+    in1 = (y0 + 1 >= 0) & (y0 + 1 < h)
+    m0 = (src == jnp.clip(y0, 0, h - 1)[..., None]) & in0[..., None]
+    m1 = (src == jnp.clip(y0 + 1, 0, h - 1)[..., None]) & in1[..., None]
+    wmat = m0 * (1.0 - wy)[..., None] + m1 * wy[..., None]  # (W, Hd, Hs)
+    out = jnp.einsum(
+        "thwc,wjh->tjwc", x, wmat.astype(x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    oob = 1.0 - jnp.sum(wmat, axis=-1)  # (W, Hd)
+    return out + fill * oob.T[None, :, :, None]
+
+
 def shear_x(x, magnitude, fill=128.0):
-    return _affine_warp(x, (1.0, magnitude, 0.0, 0.0, 1.0, 0.0), fill)
+    h, w = x.shape[1], x.shape[2]
+    src_x = jnp.arange(w)[None, :] + magnitude * jnp.arange(h)[:, None]
+    return _resample_rows(x, src_x, fill)
 
 
 def shear_y(x, magnitude, fill=128.0):
-    return _affine_warp(x, (1.0, 0.0, 0.0, magnitude, 1.0, 0.0), fill)
+    h, w = x.shape[1], x.shape[2]
+    src_y = jnp.arange(h)[None, :] + magnitude * jnp.arange(w)[:, None]
+    return _resample_cols(x, src_y, fill)
 
 
 def translate_x(x, pixels, fill=128.0):
-    return _affine_warp(x, (1.0, 0.0, pixels, 0.0, 1.0, 0.0), fill)
+    h, w = x.shape[1], x.shape[2]
+    src_x = jnp.broadcast_to(jnp.arange(w)[None, :] + pixels, (h, w))
+    return _resample_rows(x, src_x, fill)
 
 
 def translate_y(x, pixels, fill=128.0):
-    return _affine_warp(x, (1.0, 0.0, 0.0, 0.0, 1.0, pixels), fill)
+    h, w = x.shape[1], x.shape[2]
+    src_y = jnp.broadcast_to(jnp.arange(h)[None, :] + pixels, (w, h))
+    return _resample_cols(x, src_y, fill)
 
 
 def rotate(x, degrees, fill=128.0):
