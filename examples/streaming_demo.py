@@ -69,6 +69,38 @@ def main():
     print(f"#3 vs #2 tail max abs err: {err:.2e}  "
           f"({'OK' if err < 1e-4 else 'MISMATCH'})")
 
+    # 4: unbounded stream — ring mode keeps a sliding cache_capacity-frame
+    # window in fixed HBM, so the stream can run forever (the reference's
+    # DynamicCache grows without bound)
+    cfg_ring = cfg.replace(cache_mode="ring", cache_capacity=8)
+    ring_step = jax.jit(partial(encoder.streaming_forward, cfg=cfg_ring),
+                        donate_argnums=(2,))
+    rcache = encoder.init_cache(cfg_ring, batch=1)
+    for t in range(px.shape[1] * 3):  # 3x longer than capacity: wraps twice
+        out4, rcache = ring_step(params, px[:, t % px.shape[1]][:, None],
+                                 rcache)
+    print("#4 ring stream (48 frames through an 8-frame window) pooled[0,-1,:4] =",
+          np.asarray(out4["pooler_output"][0, -1, :4]),
+          "| finite:", bool(np.isfinite(
+              np.asarray(out4["pooler_output"], np.float32)).all()))
+
+    # 5: int8 serving — quantized dense (MXU s8s8s32) + int8 KV cache
+    from streamformer_tpu.ops import quant
+
+    qparams = quant.quantize_encoder_params(params)
+    cfg_q = cfg.replace(cache_dtype="int8")
+    qstep = jax.jit(partial(encoder.streaming_forward, cfg=cfg_q),
+                    donate_argnums=(2,))
+    qcache = encoder.init_cache(cfg_q, batch=1)
+    o5a, qcache = qstep(qparams, px[:, :8], qcache)
+    o5b, qcache = qstep(qparams, px[:, 8:], qcache)
+    got = np.concatenate([np.asarray(o5a["pooler_output"], np.float32),
+                          np.asarray(o5b["pooler_output"], np.float32)], 1)
+    ref = np.asarray(full["pooler_output"], np.float32)
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref))
+    print(f"#5 int8 weights + int8 KV vs float full-clip cosine: {cos:.5f}")
+
 
 if __name__ == "__main__":
     main()
