@@ -198,9 +198,9 @@ def main():
             t2 = min(timed512(23) for _ in range(reps))
             return b512 / ((t2 - t1) / 20)
 
-        if budget_left(180):
+        if budget_left(420):
             fps_512 = measure_512(cfg.replace(cache_capacity=512))
-        if budget_left(240):
+        if budget_left(540):
             fps_512_int8kv = measure_512(
                 cfg.replace(cache_capacity=512, cache_dtype="int8")
             )
@@ -208,7 +208,7 @@ def main():
     # int8 serving path: per-column int8 weights + dynamic per-row activation
     # quant (ops/quant.py) — the step is MXU-bound, v5e int8 peak is 2x bf16
     fps_int8 = None
-    if on_tpu and budget_left(300):
+    if on_tpu and budget_left(660):
         from streamformer_tpu.ops import quant
 
         qparams = jax.tree.map(lambda x: x, params)
@@ -242,7 +242,7 @@ def main():
     # slot-exclusion mask; len pinned deep past capacity so every step is
     # post-wraparound steady state
     fps_ring = None
-    if on_tpu and budget_left(360):
+    if on_tpu and budget_left(780):
         cfg_ring = cfg.replace(cache_mode="ring", cache_layout="pos_major")
 
         @partial(jax.jit, donate_argnums=(2,))
@@ -273,7 +273,7 @@ def main():
     # guard keeps the whole bench inside the driver budget.
     train_cps = None
     train_mfu = None
-    if on_tpu and budget_left(420):
+    if on_tpu and budget_left(900):
         try:
             import optax
 
@@ -334,7 +334,7 @@ def main():
     # (rand_augment + random-resized-crop + flip + normalize + random
     # erasing), decoded-uint8 -> model input, batched 16-frame clips
     preproc_fps = None
-    if on_tpu and budget_left(480):
+    if on_tpu and budget_left(1020):
         try:
             from streamformer_tpu.data.collate import make_train_augment
 

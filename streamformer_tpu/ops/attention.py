@@ -929,12 +929,30 @@ def _ftf_fwd(q, k, v, num_heads):
     return _fullclip_temporal_pallas(q, k, v, num_heads), (q, k, v)
 
 
+def _ftf_dpa(q, k, v, num_heads):
+    """dot_product_attention formulation for the backward recompute: XLA's
+    fused attention bwd beats autodiff through the einsum reference (which
+    materializes (R, H, T, T) score tensors at tiny-matmul shapes)."""
+    r, t, d = q.shape
+    dh = d // num_heads
+    fold = lambda a: a.reshape(r, t, num_heads, dh)
+    out = jax.nn.dot_product_attention(
+        fold(q), fold(k), fold(v), is_causal=True
+    )
+    return out.reshape(r, t, d)
+
+
 def _ftf_bwd(num_heads, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: fullclip_temporal_reference(q, k, v, num_heads),
-        q, k, v,
-    )
+    if q.dtype == jnp.bfloat16:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _ftf_dpa(q, k, v, num_heads), q, k, v
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda q, k, v: fullclip_temporal_reference(q, k, v, num_heads),
+            q, k, v,
+        )
     return vjp(g)
 
 
@@ -1013,11 +1031,25 @@ def _fsf_fwd(q, k, v, num_heads):
     return _spatial_flat_pallas(q, k, v, num_heads), (q, k, v)
 
 
+def _fsf_dpa(q, k, v, num_heads):
+    r, n, d = q.shape
+    dh = d // num_heads
+    fold = lambda a: a.reshape(r, n, num_heads, dh)
+    out = jax.nn.dot_product_attention(fold(q), fold(k), fold(v))
+    return out.reshape(r, n, d)
+
+
 def _fsf_bwd(num_heads, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: spatial_flat_reference(q, k, v, num_heads), q, k, v
-    )
+    if q.dtype == jnp.bfloat16:
+        # XLA's fused attention bwd (see _ftf_dpa note)
+        _, vjp = jax.vjp(
+            lambda q, k, v: _fsf_dpa(q, k, v, num_heads), q, k, v
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda q, k, v: spatial_flat_reference(q, k, v, num_heads), q, k, v
+        )
     return vjp(g)
 
 
