@@ -79,11 +79,12 @@ class StreamformerConfig:
     dtype: str = "bfloat16"
     # Use fused Pallas kernels for the divided attention when on TPU.
     use_pallas: bool = True
-    # The fused streaming decode kernel (ops/attention.fused_temporal_decode):
-    # beats the XLA einsum path at every capacity on v5e (1.3x at 16-frame
-    # context, ~96% of HBM peak at 512) and fuses int8 dequantization when
-    # cache_dtype="int8". Engages for single-frame appends on the linear
-    # cache; other shapes fall back to the einsum path.
+    # The fused streaming decode kernels (ops/attention.fused_temporal_
+    # decode_pm / _pm_int8): pos-major in-kernel plane append at the HBM
+    # roofline (104 us/layer at B=8/capacity 16 on v5e), O(valid-length)
+    # reads, fused int8 dequant, and ring (sliding-window) wraparound in the
+    # same program. Engages for single-frame causal appends; other shapes
+    # fall back to the einsum path.
     use_pallas_streaming: bool = True
     # The fused flat-D spatial attention kernel
     # (ops/attention.fused_spatial_flat): heads as 64-lane slices, no

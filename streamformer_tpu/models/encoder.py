@@ -656,14 +656,15 @@ def temporal_attention(
     (reference TimesformerCausalSelfAttention,
     modeling_timesformer_siglip.py:593-601).
 
-    Streaming (cache_kv={"k","v"[,"k_scale","v_scale"]} with k/v of shape
-    (B, N, C, D) — patch-row-major so each row's temporal window is one
-    contiguous DMA — and per-(B,N,C,H) float32 scales when the cache dtype
-    is int8): the new frames' K/V are written at positions
-    [cache_len, cache_len+T) and query row i attends to absolute positions
-    <= cache_len + i (reference streaming mask,
-    timesformer_encoder.py:522-546). Returns (out, new_cache_kv);
-    fixed-capacity C keeps shapes static for XLA.
+    Streaming (cache_kv={"k","v"[,"k_scale","v_scale"]}): the new frames'
+    K/V are written at positions [cache_len, cache_len+T) and query row i
+    attends to absolute positions <= cache_len + i (reference streaming
+    mask, timesformer_encoder.py:522-546). Returns (out, new_cache_kv);
+    fixed capacity keeps shapes static for XLA. Cache layout per
+    cfg.cache_layout: pos-major (C, B·N, D) flat leaves (the default — see
+    init_cache and the ops/attention.py pm notes) or row-major
+    (B, N, C, D); the ring mode wraps writes at slot (pos mod C) for a
+    sliding window over the last C frames.
     """
     b, t, n, d = x.shape
     h = cfg.num_attention_heads

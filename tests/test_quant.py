@@ -115,3 +115,34 @@ def test_quantized_streaming_matches_quantized_fullclip():
     np.testing.assert_allclose(
         np.asarray(stream), np.asarray(full["pooler_output"]), atol=2e-4
     )
+
+
+def test_int8_weights_with_int8_ring_cache():
+    """Full serving stack: quantized dense + int8 KV + ring eviction, run
+    past capacity — stays finite and tracks the float full-clip closely
+    within the window (examples/streaming_demo.py #4/#5 as a pinned test)."""
+    cfg = CFG.replace(cache_mode="ring", cache_dtype="int8",
+                      cache_capacity=6)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    for lp in params["layers"]:
+        lp["temporal_attention_gating"] = jnp.asarray(0.7)
+    qparams = quant.quantize_encoder_params(params)
+    rng = np.random.default_rng(4)
+    px = jnp.asarray(rng.standard_normal((2, 10, 3, 48, 48)), jnp.float32)
+
+    cache = encoder.init_cache(cfg, batch=2)
+    outs = []
+    for t in range(10):  # wraps the 6-frame ring
+        o, cache = encoder.streaming_forward(qparams, px[:, t : t + 1],
+                                             cache, cfg)
+        outs.append(np.asarray(o["pooler_output"], np.float32))
+    got = np.concatenate(outs, axis=1)
+    assert np.isfinite(got).all()
+    # within the first `capacity` frames the ring == linear: compare the
+    # prefix against the float full-clip forward
+    ref = np.asarray(
+        encoder.model_forward(params, px[:, :6], CFG)["pooler_output"],
+        np.float32,
+    )
+    cos = _cos(got[:, :6], ref)
+    assert cos > 0.98, cos
