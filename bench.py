@@ -159,56 +159,16 @@ def main():
     tflops = flops / dt / 1e12
     mfu = tflops / 197.0 if on_tpu else float("nan")  # v5e bf16 peak
 
-    # secondary: long-context streaming (512-frame window, batch 2 — the
-    # bf16 512-cap cache at batch 8 exceeds HBM) — the decode is HBM-bound
-    # on the KV reads; the int8-KV variant halves that traffic (pos-major
-    # cache, fused dequant; rows padded to the 32-sublane int8 tile).
     # every secondary metric is time-guarded so the bench always emits its
     # line within the driver budget even on a cold compile cache
     def budget_left(limit_s):
         return time.perf_counter() - t_start < limit_s
 
-    fps_512 = None
-    fps_512_int8kv = None
-    if on_tpu:
-        b512 = 2
-        frame512 = frame[:b512]
-
-        def measure_512(cfg512):
-            @partial(jax.jit, donate_argnums=(2,))
-            def step512(params, frame, c):
-                c = {**c, "len": jnp.full((), 511, jnp.int32)}
-                out, c = encoder.streaming_forward(params, frame, c, cfg512)
-                return out["pooler_output"], c
-
-            c512 = encoder.init_cache(cfg512, batch=b512)
-            pooled, c512 = step512(params, frame512, c512)
-            _ = float(jnp.sum(pooled))
-
-            def timed512(k):
-                nonlocal c512
-                t0 = time.perf_counter()
-                pooled = None
-                for _ in range(k):
-                    pooled, c512 = step512(params, frame512, c512)
-                _ = float(jnp.sum(pooled))
-                return time.perf_counter() - t0
-
-            t1 = min(timed512(3) for _ in range(reps))
-            t2 = min(timed512(23) for _ in range(reps))
-            return b512 / ((t2 - t1) / 20)
-
-        if budget_left(420):
-            fps_512 = measure_512(cfg.replace(cache_capacity=512))
-        if budget_left(540):
-            fps_512_int8kv = measure_512(
-                cfg.replace(cache_capacity=512, cache_dtype="int8")
-            )
 
     # int8 serving path: per-column int8 weights + dynamic per-row activation
     # quant (ops/quant.py) — the step is MXU-bound, v5e int8 peak is 2x bf16
     fps_int8 = None
-    if on_tpu and budget_left(660):
+    if on_tpu and budget_left(480):
         from streamformer_tpu.ops import quant
 
         qparams = jax.tree.map(lambda x: x, params)
@@ -242,7 +202,7 @@ def main():
     # slot-exclusion mask; len pinned deep past capacity so every step is
     # post-wraparound steady state
     fps_ring = None
-    if on_tpu and budget_left(780):
+    if on_tpu and budget_left(600):
         cfg_ring = cfg.replace(cache_mode="ring", cache_layout="pos_major")
 
         @partial(jax.jit, donate_argnums=(2,))
@@ -273,7 +233,7 @@ def main():
     # guard keeps the whole bench inside the driver budget.
     train_cps = None
     train_mfu = None
-    if on_tpu and budget_left(900):
+    if on_tpu and budget_left(720):
         try:
             import optax
 
@@ -334,7 +294,7 @@ def main():
     # (rand_augment + random-resized-crop + flip + normalize + random
     # erasing), decoded-uint8 -> model input, batched 16-frame clips
     preproc_fps = None
-    if on_tpu and budget_left(1020):
+    if on_tpu and budget_left(840):
         try:
             from streamformer_tpu.data.collate import make_train_augment
 
@@ -361,6 +321,47 @@ def main():
             preproc_fps = batch * 16 / ((tp2 - tp1) / 8)
         except Exception as e:
             print(f"# preprocessing bench skipped: {e}", file=sys.stderr)
+
+    # secondary: long-context streaming (512-frame window, batch 2 — the
+    # bf16 512-cap cache at batch 8 exceeds HBM) — the decode is HBM-bound
+    # on the KV reads; the int8-KV variant halves that traffic (pos-major
+    # cache, fused dequant; rows padded to the 32-sublane int8 tile).
+    fps_512 = None
+    fps_512_int8kv = None
+    if on_tpu:
+        b512 = 2
+        frame512 = frame[:b512]
+
+        def measure_512(cfg512):
+            @partial(jax.jit, donate_argnums=(2,))
+            def step512(params, frame, c):
+                c = {**c, "len": jnp.full((), 511, jnp.int32)}
+                out, c = encoder.streaming_forward(params, frame, c, cfg512)
+                return out["pooler_output"], c
+
+            c512 = encoder.init_cache(cfg512, batch=b512)
+            pooled, c512 = step512(params, frame512, c512)
+            _ = float(jnp.sum(pooled))
+
+            def timed512(k):
+                nonlocal c512
+                t0 = time.perf_counter()
+                pooled = None
+                for _ in range(k):
+                    pooled, c512 = step512(params, frame512, c512)
+                _ = float(jnp.sum(pooled))
+                return time.perf_counter() - t0
+
+            t1 = min(timed512(3) for _ in range(reps))
+            t2 = min(timed512(23) for _ in range(reps))
+            return b512 / ((t2 - t1) / 20)
+
+        if budget_left(960):
+            fps_512 = measure_512(cfg.replace(cache_capacity=512))
+        if budget_left(1080):
+            fps_512_int8kv = measure_512(
+                cfg.replace(cache_capacity=512, cache_dtype="int8")
+            )
 
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
