@@ -781,7 +781,7 @@ def fused_temporal_decode_pm_int8(
     num_heads: int,
     out_dtype=None,
     row_block: int = 32,
-    cache_block: int = 32,
+    cache_block: int = 64,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pos-major int8 append-and-attend decode (fused dequant): HALF the
@@ -792,9 +792,12 @@ def fused_temporal_decode_pm_int8(
     while r % row_block or row_block % 32:
         row_block -= 32
     assert row_block > 0, f"rows {r} must have a 32-multiple divisor"
-    cb = min(cache_block, c)
+    # position blocks are 8-sublane granular; clamp the search at 8 (a
+    # start below 8 would otherwise decrement to a zero-divide)
+    cb = max(min(cache_block, c), 8)
     while c % cb or cb % 8:
         cb -= 1
+    assert cb >= 8, f"capacity {c} must have an 8-multiple divisor"
     out_dtype = out_dtype or q.dtype
     q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
                           memory_space=pltpu.VMEM)
