@@ -71,8 +71,10 @@ class StreamformerConfig:
     #   B=8/capacity 16 on v5e). int8 caches work at any capacity (scales
     #   are per-(pos, patch-row), stored (B, N, C)).
     # * "row_major": K/V stored (B, N, C, D) — each patch row's window is
-    #   contiguous; kept for the ring (sliding-window) cache mode, which
-    #   always uses it.
+    #   contiguous; kept as a compatibility/fallback layout. Ring
+    #   (sliding-window) mode runs on BOTH layouts; pos_major is the
+    #   production ring path (fused-kernel slot write +
+    #   _ring_attend_pos_major) and is what bench.py measures.
     cache_layout: str = "pos_major"
     # Compute dtype for the encoder ("bfloat16" on TPU, "float32" for parity
     # tests). Params are always stored float32; cast on entry.

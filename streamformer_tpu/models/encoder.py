@@ -525,7 +525,13 @@ def _ring_attend_pos_major(q, k, v, cache, cache_len, cfg, causal):
         ok_old = (kpos_old >= 0) & (kpos_old > last - cap)
     ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    ok_new = (jj <= ii) if causal else jnp.ones((t, t), bool)
+    # in-chunk keys need the same sliding-window lower bound as the cache
+    # keys: when t > cap, query i must not see in-chunk keys older than its
+    # cap-length window (key j's position is cache_len + j)
+    if causal:
+        ok_new = (jj <= ii) & (jj > ii - cap)
+    else:
+        ok_new = jj > (t - 1 - cap) if t > cap else jnp.ones((t, t), bool)
     scores = jnp.concatenate(
         [
             jnp.where(ok_old[None, None, None], scores_old, -jnp.inf),
@@ -539,10 +545,13 @@ def _ring_attend_pos_major(q, k, v, cache, cache_len, cfg, causal):
     )
     ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, vals).reshape(b, t, n, d)
 
-    # wrap-around write AFTER attention: slot = position mod capacity
-    slots = (cache_len + jnp.arange(t)) % cap
-    k_p = k.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
-    v_p = v.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
+    # wrap-around write AFTER attention: slot = position mod capacity.
+    # Only the last min(t, cap) frames survive a t > cap append — writing
+    # all t would scatter duplicate slot indices (undefined winner).
+    keep = min(t, cap)
+    slots = (cache_len + jnp.arange(t)[t - keep:]) % cap
+    k_p = k[:, t - keep:].transpose(1, 0, 2, 3, 4).reshape(keep, r, d)
+    v_p = v[:, t - keep:].transpose(1, 0, 2, 3, 4).reshape(keep, r, d)
     for key, val in (("k", k_p), ("v", v_p)):
         if quantized:
             qv, s = quantize_kv(val)  # per-(t, row) over D
@@ -764,10 +773,12 @@ def temporal_attention(
     v_c = v.transpose(0, 2, 1, 3, 4)
 
     def write(key, val, pos_slots=None):
-        """Write new rows ((B,N,T,H,dh)) into cache[key] (+ int8 quantize)."""
+        """Write new rows ((B,N,T',H,dh)) into cache[key] (+ int8 quantize).
+        T' may be < T when the ring mode drops frames already evicted."""
+        t_w = val.shape[2]
         if quantized:
             qv, s = quantize_kv(val)
-            qv = qv.reshape(b, n, t, d)
+            qv = qv.reshape(b, n, t_w, d)
             if pos_slots is None:
                 cache[key] = jax.lax.dynamic_update_slice(
                     cache[key], qv, (0, 0, cache_len, 0)
@@ -781,7 +792,7 @@ def temporal_attention(
                     :, :, pos_slots
                 ].set(s)
         else:
-            val = val.astype(cache[key].dtype).reshape(b, n, t, d)
+            val = val.astype(cache[key].dtype).reshape(b, n, t_w, d)
             if pos_slots is None:
                 cache[key] = jax.lax.dynamic_update_slice(
                     cache[key], val, (0, 0, cache_len, 0)
@@ -827,7 +838,14 @@ def temporal_attention(
             ok_old = (kpos_old >= 0) & (kpos_old > last - cap)
         ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        ok_new = (jj <= ii) if causal else jnp.ones((t, t), bool)
+        # in-chunk keys carry the same window lower bound as the cache keys
+        # (key j's position is cache_len + j) — matters when t > cap
+        if causal:
+            ok_new = (jj <= ii) & (jj > ii - cap)
+        else:
+            ok_new = (
+                jj > (t - 1 - cap) if t > cap else jnp.ones((t, t), bool)
+            )
         scores = jnp.concatenate(
             [
                 jnp.where(ok_old[None, None, None], scores_old, -jnp.inf),
@@ -840,10 +858,13 @@ def temporal_attention(
             [full_kv("v").astype(x.dtype).transpose(0, 2, 1, 3, 4), v], axis=1
         )
         ctx = jnp.einsum("bnhqk,bknhd->bqnhd", probs, vals).reshape(b, t, n, d)
-        # wrap-around write AFTER attention: slot = position mod capacity
-        slots = (cache_len + jnp.arange(t)) % cap
-        write("k", k_c, pos_slots=slots)
-        write("v", v_c, pos_slots=slots)
+        # wrap-around write AFTER attention: slot = position mod capacity;
+        # keep only the last min(t, cap) frames (duplicate slots scatter
+        # with an undefined winner when t > cap)
+        keep = min(t, cap)
+        slots = (cache_len + jnp.arange(t)[t - keep:]) % cap
+        write("k", k_c[:, :, t - keep:], pos_slots=slots)
+        write("v", v_c[:, :, t - keep:], pos_slots=slots)
         return dense(ctx, p["out"]), cache
 
     if (

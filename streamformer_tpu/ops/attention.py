@@ -33,6 +33,19 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_row_block(r: int, target: int, multiple: int = 8) -> int:
+    """Largest divisor of ``r`` that is <= target and a multiple of
+    ``multiple`` (the sublane tile granularity); falls back to ``r`` itself
+    — a block equal to the full array dim is always legal — when no such
+    divisor exists (e.g. R = 196 at batch 1: 196 = 2^2 * 7^2 has no
+    8-multiple divisor)."""
+    best = r
+    for cand in range(multiple, min(target, r) + 1, multiple):
+        if r % cand == 0:
+            best = cand
+    return best
+
+
 # ---------------------------------------------------------------------------
 # reference (einsum) formulations — the correctness oracle and the VJP bwd
 # ---------------------------------------------------------------------------
@@ -655,8 +668,13 @@ def fused_temporal_decode_pm(
     cb = min(cache_block, c)
     while c % cb:
         cb -= 1
-    while r % row_block:
-        row_block -= 1
+    row_block = _pick_row_block(r, row_block)
+    if row_block == r and r > 64:
+        # full-dim row block (no 8-multiple divisor, e.g. B=1 -> R=196):
+        # shrink the position block to keep the (CB, R, D) KV tiles in VMEM
+        cb = min(cb, 8 if k_cache.dtype.itemsize >= 4 else 16)
+        while c % cb:
+            cb -= 1
     out_dtype = out_dtype or q.dtype
     q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -789,15 +807,21 @@ def fused_temporal_decode_pm_int8(
     v_cache); the caller dus's the small scale arrays. Row blocks must be
     32-sublane (int8 tile granularity — init_cache pads rows)."""
     c, r, d = k_cache.shape
-    while r % row_block or row_block % 32:
-        row_block -= 32
-    assert row_block > 0, f"rows {r} must have a 32-multiple divisor"
-    # position blocks are 8-sublane granular; clamp the search at 8 (a
-    # start below 8 would otherwise decrement to a zero-divide)
-    cb = max(min(cache_block, c), 8)
-    while c % cb or cb % 8:
-        cb -= 1
-    assert cb >= 8, f"capacity {c} must have an 8-multiple divisor"
+    row_block = _pick_row_block(r, row_block, multiple=32)
+    assert row_block % 32 == 0, (
+        f"rows {r} must have a 32-multiple divisor (init_cache pads int8 "
+        f"cache rows to the 32-sublane tile)"
+    )
+    # position blocks are 8-sublane granular; require an 8-aligned capacity
+    # up front (a -1 search from a non-multiple start never reaches the old
+    # assert — it decrements to a zero-divide first), then step by 8 so the
+    # loop provably terminates at cb=8
+    assert c % 8 == 0, (
+        f"int8 cache capacity must be a multiple of 8, got {c}"
+    )
+    cb = max(min(cache_block, c) // 8 * 8, 8)
+    while c % cb:
+        cb -= 8
     out_dtype = out_dtype or q.dtype
     q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
                           memory_space=pltpu.VMEM)

@@ -81,12 +81,22 @@ def test_ring_attention_matches_windowed_reference(rng):
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("t_chunk", [2, 3])
-def test_ring_attention_multiframe_matches_windowed_reference(rng, t_chunk):
+@pytest.mark.parametrize("layout", ["pos_major", "row_major"])
+@pytest.mark.parametrize("t_chunk", [2, 3, 6])
+def test_ring_attention_multiframe_matches_windowed_reference(
+    rng, t_chunk, layout
+):
     """T>1 appends after wraparound: every query in the chunk must see its
     exact cap-length window (earlier queries must NOT lose old keys to the
-    chunk's own writes — regression for the write-before-attend bug)."""
-    cfg = StreamformerConfig(cache_capacity=4, cache_mode="ring", **BASE)
+    chunk's own writes — regression for the write-before-attend bug).
+
+    t_chunk=6 > cap=4 covers the chunk-bigger-than-window case (the OAD
+    extractor streams chunk=16 into smaller ring capacities): in-chunk keys
+    need the window lower bound and only the last cap frames may be
+    written (duplicate ring slots scatter with an undefined winner)."""
+    cfg = StreamformerConfig(
+        cache_capacity=4, cache_mode="ring", cache_layout=layout, **BASE
+    )
     d, h = cfg.hidden_size, cfg.num_attention_heads
     p = encoder.init_layer_params(jax.random.PRNGKey(1), cfg)[
         "temporal_attention"

@@ -130,6 +130,33 @@ def test_rotate_close_to_pil(img):
     assert np.median(diff) <= 2.0
 
 
+@pytest.mark.parametrize("mag", [-0.37, -0.08, 0.19, 0.42])
+def test_shear_matches_affine_warp_oracle(img, mag):
+    """The one-hot MXU-matmul resamplers (shear/translate rewrite) must
+    equal the gather-based `_affine_warp` (still used by rotate, itself
+    PIL-parity-tested) under the equivalent PIL inverse matrices —
+    including out-of-bounds fill regions at |mag| large enough to push
+    pixels off the edge."""
+    x = jnp.asarray(img, jnp.float32)
+    got_x = np.asarray(T.shear_x(x, mag))
+    ref_x = np.asarray(T._affine_warp(x, (1.0, mag, 0.0, 0.0, 1.0, 0.0)))
+    np.testing.assert_allclose(got_x, ref_x, atol=1e-3)
+    got_y = np.asarray(T.shear_y(x, mag))
+    ref_y = np.asarray(T._affine_warp(x, (1.0, 0.0, 0.0, mag, 1.0, 0.0)))
+    np.testing.assert_allclose(got_y, ref_y, atol=1e-3)
+
+
+@pytest.mark.parametrize("pixels", [-13.0, -4.5, 3.25, 11.0])
+def test_translate_matches_affine_warp_oracle(img, pixels):
+    x = jnp.asarray(img, jnp.float32)
+    got_x = np.asarray(T.translate_x(x, pixels))
+    ref_x = np.asarray(T._affine_warp(x, (1.0, 0.0, pixels, 0.0, 1.0, 0.0)))
+    np.testing.assert_allclose(got_x, ref_x, atol=1e-3)
+    got_y = np.asarray(T.translate_y(x, pixels))
+    ref_y = np.asarray(T._affine_warp(x, (1.0, 0.0, 0.0, 0.0, 1.0, pixels)))
+    np.testing.assert_allclose(got_y, ref_y, atol=1e-3)
+
+
 def test_random_resized_crop_shape_and_range(img):
     out = T.random_resized_crop(jax.random.PRNGKey(0), jnp.asarray(img), (16, 16))
     assert out.shape == (2, 16, 16, 3)
