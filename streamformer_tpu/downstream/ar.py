@@ -64,6 +64,25 @@ def classification_forward(
     ].astype(feat.dtype)
 
 
+def ema_update(ema_params, params, decay: float):
+    """One ModelEma step: ema <- decay*ema + (1-decay)*param (reference
+    timm ModelEma, downstream/AR/main_finetuning.py:53-55 + utils.py copy).
+    Runs in fp32 regardless of the training dtype."""
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype),
+        ema_params,
+        params,
+    )
+
+
+def init_ema(params):
+    """EMA shadow initialized from fp32 copies of the live params (real
+    copies: the shadow and the live tree are donated to the same jit)."""
+    return jax.tree.map(
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
+    )
+
+
 def make_train_step(
     cfg: StreamformerConfig,
     tx: optax.GradientTransformation,
@@ -72,6 +91,7 @@ def make_train_step(
     cutmix_alpha: float = 1.0,
     label_smoothing: float = 0.1,
     use_mixup: bool = True,
+    ema_decay: Optional[float] = None,
 ):
     def loss_fn(params, pixel_values, labels, rng):
         if use_mixup:
@@ -109,7 +129,20 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    if ema_decay is None:
+        return step
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step_ema(params, ema_params, opt_state, pixel_values, labels, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pixel_values, labels, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, ema_params, opt_state, loss
+
+    return step_ema
 
 
 def validate(

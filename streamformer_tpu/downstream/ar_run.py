@@ -40,6 +40,11 @@ def get_args():
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--add_lora_spatial", action="store_true")
+    p.add_argument("--model_ema", action="store_true",
+                   help="keep an EMA shadow of the weights and also "
+                   "evaluate it (reference AR ModelEma, "
+                   "main_finetuning.py:53-55)")
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--test_num_segment", type=int, default=4)
@@ -154,7 +159,9 @@ def main():
         cfg, tx, args.num_classes, mixup_alpha=args.mixup,
         cutmix_alpha=args.cutmix, label_smoothing=args.smoothing,
         use_mixup=args.mixup > 0,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
     )
+    ema_params = ar.init_ema(params) if args.model_ema else None
 
     aug_t = make_train_augment(args.input_size)
     aug_e = make_eval_augment(args.input_size)
@@ -163,10 +170,15 @@ def main():
         losses = []
         for px, labels, _ in _loader(train_ds, args.batch_size, aug_t,
                                      args.seed + epoch, True, args.num_workers):
-            params, opt_state, loss = step(
-                params, opt_state, px, labels,
-                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
-            )
+            rng_s = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+            if args.model_ema:
+                params, ema_params, opt_state, loss = step(
+                    params, ema_params, opt_state, px, labels, rng_s
+                )
+            else:
+                params, opt_state, loss = step(
+                    params, opt_state, px, labels, rng_s
+                )
             losses.append(loss)
         stats = {"epoch": epoch, "loss": float(jnp.mean(jnp.stack(losses))),
                  "epoch_time": time.time() - t0}
@@ -180,6 +192,16 @@ def main():
                     val_ds, args.batch_size, aug_e, 0, False, args.num_workers
                 )),
             ))
+            if args.model_ema:
+                stats.update({
+                    f"{k}_ema": v for k, v in ar.validate(
+                        ema_params, cfg,
+                        ((px, y) for px, y, _ in _loader(
+                            val_ds, args.batch_size, aug_e, 0, False,
+                            args.num_workers
+                        )),
+                    ).items()
+                })
         print(json.dumps(stats))
         metrics_lib.write_log_line(args.output_dir, stats)
         ckpt_lib.save_checkpoint(args.output_dir, epoch, params, opt_state)
@@ -191,7 +213,7 @@ def main():
                       test_num_segment=args.test_num_segment,
                       test_num_crop=args.test_num_crop, **kw)
         res = ar.final_test(
-            params, cfg,
+            ema_params if args.model_ema else params, cfg,
             ((px, y, v) for px, y, v in _loader(
                 test_ds, args.batch_size, aug_e, 0, False, args.num_workers
             )),

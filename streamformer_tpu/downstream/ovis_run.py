@@ -35,6 +35,18 @@ def get_args():
     p.add_argument("--anno", required=True, help="VISDataset annotation JSON")
     p.add_argument("--video_root", default="")
     p.add_argument("--val_anno", default=None)
+    p.add_argument(
+        "--tracker",
+        default=None,
+        choices=["SimpleTracker", "HungarianTracker"],
+        help="inference tracker; default = the d2-config TRACKER_NAME "
+        "(reference ctvis TRACKER_REGISTRY dispatch) or HungarianTracker",
+    )
+    p.add_argument(
+        "--eval_only", action="store_true",
+        help="skip training; run tracker inference + YTVIS AP on --val_anno "
+        "(or --anno)",
+    )
     p.add_argument("--output_dir", default="output/ovis")
     p.add_argument("--model_path", default=None, help="HF backbone dir")
     p.add_argument("--num_classes", type=int, default=None)
@@ -52,6 +64,99 @@ def get_args():
     p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=3072)
     return p.parse_args()
+
+
+def run_inference(args, fwd, params, extras, seg_cfg):
+    """Per-video tracker inference -> YTVIS results JSON + in-repo AP.
+
+    Mirrors the reference inference loop (ctvis HungarianTracker.inference,
+    hungarian_tracker.py:119-252): per frame, select -> mask-NMS -> track;
+    per track, per-frame segmentations. Frames are sampled like the train
+    loader (linspace over the video); masks are evaluated at the original
+    video resolution (predictions resized back with nearest). The tracker is
+    chosen by --tracker, falling back to the d2-config TRACKER_NAME.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    import cv2
+
+    from streamformer_tpu.data.seg_datasets import (
+        VISDataset, polygons_to_mask, rle_to_mask,
+    )
+    from streamformer_tpu.downstream import segmentor as SEG
+    from streamformer_tpu.eval import ytvis as YT
+
+    anno = args.val_anno or args.anno
+    ds = VISDataset(anno, prefix=args.video_root,
+                    dataset_name="YoutubeVIS", num_frames=args.num_frames,
+                    crop_size=args.input_size,
+                    mask_size=(args.input_size, args.input_size))
+    name = args.tracker or extras.get("tracker_name") or "HungarianTracker"
+    tracker = SEG.tracker_from_extras(extras, name=name)
+
+    results, gt_rows = [], []
+    gt_id = 0
+    for index in range(len(ds)):
+        vid = ds.ids[index]
+        video = ds.videos[vid]
+        names = video["file_names"]
+        h, w = video["height"], video["width"]
+        idx = np.linspace(0, len(names) - 1, args.num_frames).astype(int)
+        logits_t, masks_t, embeds_t = [], [], []
+        for i in idx:
+            img = cv2.imread(os.path.join(args.video_root, names[int(i)]))
+            if img is None:
+                raise IOError(names[int(i)])
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (args.input_size, args.input_size))
+            px = jnp.asarray(
+                img.astype(np.float32).transpose(2, 0, 1)[None, None]
+                / 127.5 - 1.0
+            )
+            out = fwd(params, px)
+            logits_t.append(np.asarray(out["pred_logits"][0]))
+            masks_t.append(np.asarray(out["pred_masks"][0], np.float32))
+            embeds_t.append(np.asarray(out["embeddings"][0]))
+        frame_outs = SEG.track_video(
+            np.stack(logits_t), np.stack(masks_t), np.stack(embeds_t),
+            tracker,
+            inference_select_thr=extras.get("inference_select_thr", 0.01),
+            mask_nms_thr=extras.get("mask_nms_thr", 0.6),
+        )
+        # resize predicted masks back to the video resolution
+        for fo in frame_outs:
+            if len(fo["masks"]):
+                fo["masks"] = np.stack([
+                    cv2.resize(m.astype(np.uint8), (w, h),
+                               interpolation=cv2.INTER_NEAREST).astype(bool)
+                    for m in fo["masks"]
+                ])
+        results.extend(YT.collect_video_result(vid, frame_outs))
+        for a in ds.annos.get(vid, []):
+            segs = []
+            for i in idx:
+                seg = a["segmentations"][int(i)]
+                if seg is None:
+                    segs.append(None)
+                elif isinstance(seg, dict):
+                    segs.append(YT.mask_to_rle(rle_to_mask(seg, h, w)))
+                else:
+                    segs.append(YT.mask_to_rle(polygons_to_mask(seg, h, w)))
+            gt_rows.append({
+                "id": gt_id, "video_id": vid,
+                "category_id": a["category_id"], "segmentations": segs,
+            })
+            gt_id += 1
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    YT.write_results(results, os.path.join(args.output_dir, "results.json"))
+    metrics = YT.evaluate_ytvis(results, gt_rows) if gt_rows else {}
+    metrics = {k: v for k, v in metrics.items() if k != "per_class"}
+    line = {"tracker": name, "num_videos": len(ds), **metrics}
+    print(json.dumps(line))
+    with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+        json.dump(line, f)
+    return line
 
 
 def main():
@@ -115,8 +220,10 @@ def main():
         in_dim=cfg.hidden_size,
     )
     k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 1))
+    inter_idx = ADP.default_interaction_indexes(cfg.num_hidden_layers)
     adapter = ADP.init_adapter_params(k1, cfg,
-                                      deform_num_heads=cfg.num_attention_heads)
+                                      deform_num_heads=cfg.num_attention_heads,
+                                      interaction_indexes=inter_idx)
     params = {"adapter": adapter,
               "segmentor": SEG.init_segmentor(k2, seg_cfg)}
 
@@ -133,6 +240,7 @@ def main():
         return ADP.adapter_forward(
             p["adapter"], jax.lax.stop_gradient(backbone), px, cfg,
             deform_num_heads=cfg.num_attention_heads,
+            interaction_indexes=inter_idx,
         )
 
     fwd = jax.jit(
@@ -140,9 +248,24 @@ def main():
                                             seg_cfg)
     )
 
-    def loss_fn(p, px, matches, gt_cls, gt_masks):
+    if args.eval_only:
+        run_inference(args, fwd, params, d2_extras, seg_cfg)
+        return
+
+    from streamformer_tpu.downstream import ctvis_plugin as CL
+
+    def loss_fn(p, px, matches, gt_cls, gt_masks, ids):
+        # per-frame set loss (the adapter FPN and segmentor treat each of
+        # the clip's T frames as one "image", leading dim B*T) + the CTVIS
+        # contrastive plugin on the matched association embeddings
+        # (CL_PLUGIN_NAME-dispatched: pairwise CTCLPlugin or MultiRef)
         out = SEG.segmentor_forward(p["segmentor"], fpn_of(p, px), seg_cfg)
-        return SEG.criterion(out, matches, gt_cls, gt_masks, seg_cfg)
+        loss = SEG.criterion(out, matches, gt_cls, gt_masks, seg_cfg)
+        if ids is not None and int(ids.shape[0]) >= 2:
+            loss = loss + CL.cl_loss_from_config(
+                out["embeddings"], ids, d2_extras
+            )
+        return loss
 
     # no jit here: the per-sample gt/match shapes vary (ragged instance
     # counts), which would retrace every step; the heavy fwd is jitted above
@@ -156,35 +279,49 @@ def main():
         for si, idx in enumerate(order):
             s = ds[int(idx)]["task_input"]
             # one clip per step (reference trains at images-per-batch 2x
-            # frames; host-side Hungarian keeps this per-sample)
+            # frames; host-side Hungarian keeps this per-sample); each frame
+            # is matched independently, identities linked by the mask label
             px = jnp.asarray(
                 s["frames"].astype(np.float32).transpose(0, 3, 1, 2)[None]
                 / 127.5 - 1.0
             )
             sel = np.asarray(s["selected_classes"])
             mt = np.asarray(s["mask_target"])  # (T, H', W') int class idx
-            gt_ids = [c for c in np.unique(mt) if c >= 0]
-            if not gt_ids:
+            inst = [c for c in np.unique(mt) if c >= 0]
+            if not inst:
                 continue
-            gt_cls = np.full((1, len(gt_ids)), -1, np.int64)
+            nf, g = mt.shape[0], len(inst)
             h, w = mt.shape[1:]
-            gms = np.zeros((1, len(gt_ids), h, w), np.float32)
-            for gi, c in enumerate(gt_ids):
-                gt_cls[0, gi] = int(sel[c]) if c < len(sel) else int(c)
-                gms[0, gi] = (mt == c).any(axis=0)
+            gt_cls = np.full((nf, g), -1, np.int64)
+            gms = np.zeros((nf, g, h, w), np.float32)
+            for t in range(nf):
+                for gi, c in enumerate(inst):
+                    m = mt[t] == c
+                    if m.any():
+                        gt_cls[t, gi] = int(sel[c]) if c < len(sel) else int(c)
+                        gms[t, gi] = m
             gt_cls = jnp.asarray(gt_cls)
             gms = jnp.asarray(gms)
 
             out = fwd(params, px)
-            valid = np.asarray(gt_cls[0]) >= 0
-            qi, gi = SEG.hungarian_match(
-                np.asarray(out["pred_logits"][0]),
-                np.asarray(out["pred_masks"][0]),
-                np.asarray(gt_cls[0])[valid],
-                np.asarray(gms[0])[valid],
-                seg_cfg,
+            matches = []
+            ids = np.full((nf, seg_cfg.num_queries), -1, np.int64)
+            for t in range(nf):
+                valid = np.asarray(gt_cls[t]) >= 0
+                qi, gi = SEG.hungarian_match(
+                    np.asarray(out["pred_logits"][t]),
+                    np.asarray(out["pred_masks"][t]),
+                    np.asarray(gt_cls[t])[valid],
+                    np.asarray(gms[t])[valid],
+                    seg_cfg,
+                )
+                # remap gi back into the padded gt row
+                vidx = np.flatnonzero(valid)
+                matches.append((qi, vidx[gi]))
+                ids[t, qi] = np.asarray(inst)[vidx[gi]]
+            loss, grads = grad_step(
+                params, px, matches, gt_cls, gms, jnp.asarray(ids)
             )
-            loss, grads = grad_step(params, px, [(qi, gi)], gt_cls, gms)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             losses.append(float(loss))
@@ -195,6 +332,9 @@ def main():
         print(json.dumps(stats))
         metrics_lib.write_log_line(args.output_dir, stats)
         ckpt_lib.save_checkpoint(args.output_dir, epoch, params, opt_state)
+
+    if args.val_anno:
+        run_inference(args, fwd, params, d2_extras, seg_cfg)
 
 
 if __name__ == "__main__":

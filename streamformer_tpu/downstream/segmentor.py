@@ -332,6 +332,13 @@ def hungarian_match(
 
     if len(gt_classes) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if gt_masks.shape[1:] != pred_masks.shape[1:]:
+        # align gt to the prediction resolution (criterion does the same
+        # via jax.image.resize nearest)
+        ph, pw = pred_masks.shape[1:]
+        yi = (np.arange(ph) * gt_masks.shape[1] / ph).astype(int)
+        xi = (np.arange(pw) * gt_masks.shape[2] / pw).astype(int)
+        gt_masks = gt_masks[:, yi][:, :, xi]
     prob = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
     prob /= prob.sum(-1, keepdims=True)
     cost_class = -prob[:, gt_classes]  # (Q, G)
@@ -439,6 +446,298 @@ class SimpleTracker:
 
 
 # ---------------------------------------------------------------------------
+# CTVIS memory-bank tracker (reference
+# downstream/OVIS/ctvis/modeling/tracker/hungarian_tracker.py:338 +
+# memory_bank.py — the published CTVIS method's tracker)
+# ---------------------------------------------------------------------------
+
+
+class _Tracklet:
+    """One track's bounded history + fused association embedding.
+
+    Mirrors the reference Tracklet (memory_bank.py:5-58): keeps the last
+    ``maximum_cache`` (score, embedding) pairs plus two fused views —
+    a momentum EMA and the similarity-guided fusion of arXiv 2203.14208
+    (new embeddings move the fused embedding in proportion to their mean
+    cosine similarity with the history, so occlusion-corrupted outliers
+    barely perturb it).
+    """
+
+    def __init__(self, track_id: int, maximum_cache: int = 10,
+                 momentum: float = 0.75):
+        self.track_id = track_id
+        self.scores: List[float] = []
+        self.embeds: List[np.ndarray] = []
+        self.frame_ids: List[int] = []
+        self.exist_frames = 0
+        self.maximum_cache = maximum_cache
+        self.momentum = momentum
+        self.momentum_embed: Optional[np.ndarray] = None
+        self.sim_guided_embed: Optional[np.ndarray] = None
+
+    @property
+    def last_frame(self) -> int:
+        return self.frame_ids[-1]
+
+    def update(self, score: float, embed: np.ndarray, frame_id: int):
+        self.scores.append(float(score))
+        self.embeds.append(np.asarray(embed, np.float32))
+        self.frame_ids.append(int(frame_id))
+        if self.exist_frames == 0:
+            self.momentum_embed = self.embeds[-1].copy()
+            self.sim_guided_embed = self.embeds[-1].copy()
+        else:
+            m = self.momentum
+            self.momentum_embed = (1 - m) * self.momentum_embed + m * embed
+            hist = np.stack(self.embeds[:-1])
+            hn = hist / np.maximum(
+                np.linalg.norm(hist, axis=-1, keepdims=True), 1e-6
+            )
+            en = embed / max(np.linalg.norm(embed), 1e-6)
+            beta = max(0.0, float(np.mean(hn @ en)))
+            self.sim_guided_embed = (
+                (1 - beta) * self.sim_guided_embed + beta * embed
+            )
+        self.exist_frames += 1
+        if len(self.scores) > self.maximum_cache:
+            self.scores.pop(0)
+            self.embeds.pop(0)
+
+    def fused_embed(self, embed_type: str) -> np.ndarray:
+        if embed_type == "last":
+            return self.embeds[-1]
+        if embed_type == "momentum":
+            return self.momentum_embed
+        if embed_type == "similarity_guided":
+            return self.sim_guided_embed
+        if embed_type == "temporally_weighted_softmax":
+            s = np.asarray(self.scores, np.float32)
+            w = s + np.linspace(1 / len(s), 1.0, len(s), dtype=np.float32)
+            return (np.stack(self.embeds) * w[:, None]).sum(0) / w.sum()
+        raise ValueError(f"unknown embed_type {embed_type!r}")
+
+
+class HungarianTracker:
+    """Memory-bank online tracker with global (Hungarian) assignment.
+
+    Rebuild of the reference HungarianTracker + MemoryBank
+    (ctvis/modeling/tracker/hungarian_tracker.py:254-338, memory_bank.py):
+    detections are matched to live tracklets on a bisoftmax or cosine
+    similarity against each tracklet's fused association embedding; tracks
+    unseen for ``num_dead_frames`` are retired; long-lived tracklets are
+    preferred via ``frame_weight``. The reference resolves matches greedily
+    in detection order (its own comment flags Hungarian as the intended
+    upgrade, hungarian_tracker.py:286-288); ``match_type='hungarian'``
+    (default) does the globally optimal assignment, ``'greedy'`` reproduces
+    the reference's order-dependent resolution (config MATCH_TYPE).
+    """
+
+    def __init__(
+        self,
+        match_metric: str = "bisoftmax",
+        match_type: str = "hungarian",
+        match_score_thr: float = 0.2,
+        init_score_thr: float = 0.01,
+        frame_weight: bool = True,
+        num_dead_frames: int = 20,
+        embed_type: str = "similarity_guided",
+        maximum_cache: int = 10,
+    ):
+        assert match_metric in ("bisoftmax", "cosine")
+        assert match_type in ("hungarian", "greedy")
+        assert embed_type in (
+            "last", "momentum", "similarity_guided",
+            "temporally_weighted_softmax",
+        )
+        self.match_metric = match_metric
+        self.match_type = match_type
+        self.match_score_thr = match_score_thr
+        self.init_score_thr = init_score_thr
+        self.frame_weight = frame_weight
+        self.num_dead_frames = num_dead_frames
+        self.embed_type = embed_type
+        self.maximum_cache = maximum_cache
+        self.reset()
+
+    def reset(self):
+        self.tracklets: Dict[int, _Tracklet] = {}
+        self._next = 0
+        self._frame = 0
+
+    def _bank(self) -> Tuple[List[int], np.ndarray, np.ndarray]:
+        ids = list(self.tracklets.keys())
+        embeds = np.stack(
+            [self.tracklets[i].fused_embed(self.embed_type) for i in ids]
+        )
+        exist = np.asarray(
+            [self.tracklets[i].exist_frames for i in ids], np.float32
+        )
+        return ids, embeds, exist
+
+    def _match_scores(self, embeds: np.ndarray, bank: np.ndarray):
+        if self.match_metric == "bisoftmax":
+            sim = embeds @ bank.T  # (N, K)
+            sm = lambda x, ax: np.exp(x - x.max(ax, keepdims=True)) / np.sum(
+                np.exp(x - x.max(ax, keepdims=True)), ax, keepdims=True
+            )
+            return (sm(sim, 1) + sm(sim, 0)) / 2
+        en = embeds / np.maximum(
+            np.linalg.norm(embeds, axis=-1, keepdims=True), 1e-6
+        )
+        bn = bank / np.maximum(
+            np.linalg.norm(bank, axis=-1, keepdims=True), 1e-6
+        )
+        return en @ bn.T
+
+    def update(
+        self,
+        embeddings: np.ndarray,
+        scores: Optional[np.ndarray] = None,
+        frame_id: Optional[int] = None,
+    ) -> List[int]:
+        """Assign this frame's detections (ordered by descending score) to
+        track ids; -1 = dropped (below init threshold and unmatched)."""
+        embeddings = np.asarray(embeddings, np.float32)
+        n = len(embeddings)
+        scores = (
+            np.ones(n, np.float32) if scores is None
+            else np.asarray(scores, np.float32)
+        )
+        frame_id = self._frame if frame_id is None else int(frame_id)
+        self._frame = frame_id + 1
+
+        # retire dead tracklets BEFORE matching (reference cleans after, but
+        # pre-cleaning means a detection can never match a track that was
+        # already dead at this frame; same steady-state behavior)
+        for tid in [
+            t for t, tr in self.tracklets.items()
+            if frame_id - tr.last_frame > self.num_dead_frames
+        ]:
+            del self.tracklets[tid]
+
+        out = np.full(n, -1, np.int64)
+        if self.tracklets and n:
+            ids, bank, exist = self._bank()
+            ms = self._match_scores(embeddings, bank)
+            if self.frame_weight:
+                # prefer long-lived tracklets among above-threshold
+                # candidates (reference hungarian_tracker.py:290-299, +1.6 AP)
+                w = np.where(
+                    ms > self.match_score_thr, exist[None, :], exist.mean()
+                )
+                weighted = ms * w
+            else:
+                weighted = ms
+            if self.match_type == "hungarian":
+                from scipy.optimize import linear_sum_assignment
+
+                ni, ki = linear_sum_assignment(-weighted)
+                for i, k in zip(ni, ki):
+                    if ms[i, k] > self.match_score_thr:
+                        out[i] = ids[k]
+            else:  # greedy in detection order, matched columns zeroed
+                avail = weighted.copy()
+                for i in range(n):
+                    k = int(np.argmax(avail[i]))
+                    if ms[i, k] > self.match_score_thr and avail[i, k] > 0:
+                        out[i] = ids[k]
+                        avail[:, k] = 0.0
+        for i in range(n):
+            if out[i] == -1 and scores[i] > self.init_score_thr:
+                out[i] = self._next
+                self._next += 1
+                self.tracklets[int(out[i])] = _Tracklet(
+                    int(out[i]), self.maximum_cache
+                )
+        for i in range(n):
+            if out[i] >= 0:
+                tr = self.tracklets.get(int(out[i]))
+                if tr is None:  # matched id always exists; defensive
+                    continue
+                tr.update(scores[i], embeddings[i], frame_id)
+        return out.tolist()
+
+
+def make_tracker(name: str, **kwargs):
+    """TRACKER_NAME dispatch (reference TRACKER_REGISTRY,
+    simple_tracker.py / hungarian_tracker.py registrations)."""
+    if name == "SimpleTracker":
+        allowed = {"sim_threshold", "momentum"}
+        return SimpleTracker(
+            **{k: v for k, v in kwargs.items() if k in allowed}
+        )
+    if name == "HungarianTracker":
+        return HungarianTracker(**kwargs)
+    raise ValueError(f"unknown tracker {name!r}")
+
+
+def mask_nms(masks: np.ndarray, nms_thr: float = 0.6) -> np.ndarray:
+    """Keep-mask over score-ordered binary masks: drop a mask whose IoU with
+    any kept earlier (higher-scoring) mask exceeds ``nms_thr`` (reference
+    ctvis/utils/utils.py:154-174)."""
+    n = len(masks)
+    keep = np.ones(n, bool)
+    flat = masks.reshape(n, -1).astype(bool)
+    area = flat.sum(-1)
+    for i in range(n - 1):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            inter = np.count_nonzero(flat[i] & flat[j])
+            union = area[i] + area[j] - inter
+            if union > 0 and inter / union > nms_thr:
+                keep[j] = False
+    return keep
+
+
+def track_video(
+    frame_logits: np.ndarray,  # (T, Q, C+1)
+    frame_masks: np.ndarray,  # (T, Q, H, W) logits
+    frame_embeds: np.ndarray,  # (T, Q, D)
+    tracker,
+    inference_select_thr: float = 0.01,
+    mask_nms_thr: float = 0.6,
+) -> List[Dict]:
+    """Run per-frame selection -> NMS -> tracking over a video's detections
+    (the reference HungarianTracker.inference loop, hungarian_tracker.py:
+    119-204). Returns per-frame dicts in the eval/ytvis
+    ``collect_video_result`` format."""
+    tracker.reset()
+    outs: List[Dict] = []
+    for t in range(len(frame_logits)):
+        logits = frame_logits[t]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        cls_scores = probs[:, :-1]
+        score = cls_scores.max(-1)
+        cat = cls_scores.argmax(-1)
+        order = np.argsort(-score)
+        keep = order[score[order] > inference_select_thr]
+        if len(keep) == 0:  # always keep the best (reference :146-147)
+            keep = order[:1]
+        bm = jax.nn.sigmoid(frame_masks[t][keep]) > 0.5
+        bm = np.asarray(bm)
+        keep = keep[mask_nms(bm, mask_nms_thr)]
+        ids = tracker.update(
+            frame_embeds[t][keep], score[keep], frame_id=t
+        )
+        sel = [i for i, tid in enumerate(ids) if tid >= 0]
+        outs.append(
+            {
+                "track_ids": [ids[i] for i in sel],
+                "category_ids": cat[keep][sel].tolist(),
+                "scores": score[keep][sel].tolist(),
+                "masks": np.asarray(
+                    jax.nn.sigmoid(frame_masks[t][keep][sel]) > 0.5
+                ),
+            }
+        )
+    return outs
+
+
+# ---------------------------------------------------------------------------
 # detectron2-config compatibility (reference
 # downstream/OVIS/configs/_base_/M2F.yaml + ytvis_2019/CTVIS_Streamformer.yaml)
 # ---------------------------------------------------------------------------
@@ -496,14 +795,30 @@ def config_from_detectron2_yaml(path: str):
         dice_weight=float(mf.get("DICE_WEIGHT", 5.0)),
     )
     tracker = model.get("TRACKER", {})
+    bank = tracker.get("MEMORY_BANK", {})
     clp = model.get("CL_PLUGIN", {})
     solver = cfg.get("SOLVER", {})
     inp = cfg.get("INPUT", {})
     extras = {
         "backbone_pretrained": model.get("BACKBONE", {}).get("PRETRAINED"),
         "backbone_checkpoint": model.get("BACKBONE", {}).get("CHECKPOINT"),
+        # full TRACKER block (reference ctvis/config.py:18-39 defaults)
         "tracker_name": tracker.get("TRACKER_NAME", "SimpleTracker"),
         "match_score_thr": float(tracker.get("MATCH_SCORE_THR", 0.3)),
+        "match_metric": tracker.get("MATCH_METRIC", "bisoftmax"),
+        "match_type": tracker.get("MATCH_TYPE", "hungarian"),
+        "frame_weight": bool(tracker.get("FRAME_WEIGHT", True)),
+        "temporal_score_type": tracker.get("TEMPORAL_SCORE_TYPE", "mean"),
+        "inference_select_thr": float(
+            tracker.get("INFERENCE_SELECT_THR", 0.01)
+        ),
+        "init_score_thr": float(tracker.get("INIT_SCORE_THR", 0.01)),
+        "mask_nms_thr": float(tracker.get("MASK_NMS_THR", 0.6)),
+        "num_dead_frames": int(bank.get("NUM_DEAD_FRAMES", 20)),
+        "embed_type": bank.get("EMBED_TYPE", "similarity_guided"),
+        "maximum_cache": int(bank.get("maximum_cache", 10)),
+        "cl_plugin_name": clp.get("CL_PLUGIN_NAME", "CTCLPlugin"),
+        "one_direction": bool(clp.get("ONE_DIRECTION", True)),
         "reid_weight": float(clp.get("REID_WEIGHT", 2.0)),
         "aux_reid_weight": float(clp.get("AUX_REID_WEIGHT", 3.0)),
         "num_negatives": int(clp.get("NUM_NEGATIVES", 99)),
@@ -517,3 +832,24 @@ def config_from_detectron2_yaml(path: str):
         "datasets_train": cfg.get("DATASETS", {}).get("TRAIN"),
     }
     return seg, extras
+
+
+def tracker_from_extras(extras: dict, name: Optional[str] = None):
+    """Build the tracker a d2-config names (honors TRACKER_NAME +
+    the MODEL.TRACKER / MEMORY_BANK hyperparameters)."""
+    name = name or extras.get("tracker_name", "SimpleTracker")
+    if name == "SimpleTracker":
+        return SimpleTracker(
+            sim_threshold=extras.get("match_score_thr", 0.3)
+        )
+    return make_tracker(
+        name,
+        match_metric=extras.get("match_metric", "bisoftmax"),
+        match_type=extras.get("match_type", "hungarian"),
+        match_score_thr=extras.get("match_score_thr", 0.2),
+        init_score_thr=extras.get("init_score_thr", 0.01),
+        frame_weight=extras.get("frame_weight", True),
+        num_dead_frames=extras.get("num_dead_frames", 20),
+        embed_type=extras.get("embed_type", "similarity_guided"),
+        maximum_cache=extras.get("maximum_cache", 10),
+    )

@@ -35,6 +35,16 @@ Params = Dict[str, Any]
 INTERACTION_INDEXES = [[0, 2], [3, 5], [6, 8], [9, 11]]
 
 
+def default_interaction_indexes(num_layers: int):
+    """Contiguous [lo, hi] layer ranges for the interaction blocks: the
+    canonical 4-block split for the 12-layer flagship (reference
+    modeling_timesformer_siglip_adapter.py:465), scaled to smaller encoders
+    (tiny smoke configs) as min(4, num_layers) near-equal chunks."""
+    nblocks = min(4, num_layers)
+    chunks = np.array_split(np.arange(num_layers), nblocks)
+    return [[int(c[0]), int(c[-1])] for c in chunks]
+
+
 # ---------------------------------------------------------------------------
 # small pieces
 # ---------------------------------------------------------------------------

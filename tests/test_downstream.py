@@ -56,6 +56,49 @@ def test_ar_train_and_multiview_eval(rng):
     assert 0 <= out["top1"] <= 100
 
 
+def test_ar_model_ema_tracks_then_freezes(rng):
+    """EMA shadow converges toward the live params while training and stays
+    put when the live params stop moving (reference ModelEma semantics,
+    downstream/AR/main_finetuning.py:53-55)."""
+    from streamformer_tpu.downstream import ar
+    from streamformer_tpu.models import encoder
+
+    num_classes = 3
+    params = {
+        "backbone": encoder.init_params(jax.random.PRNGKey(0), CFG),
+        "head": ar.init_classifier_params(jax.random.PRNGKey(1), CFG,
+                                          num_classes),
+    }
+    tx = optax.adamw(1e-2)
+    opt_state = tx.init(params)
+    step = ar.make_train_step(CFG, tx, num_classes, use_mixup=False,
+                              ema_decay=0.5)
+    ema = ar.init_ema(params)
+
+    px = jnp.asarray(rng.standard_normal((2, 4, 3, 32, 32)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, num_classes, 2))
+
+    def dist(a, b):
+        leaves = jax.tree.leaves(
+            jax.tree.map(lambda x, y: jnp.sum((x - y) ** 2), a, b)
+        )
+        return float(jnp.sqrt(sum(leaves)))
+
+    for i in range(3):
+        params, ema, opt_state, loss = step(params, ema, opt_state, px,
+                                            labels, jax.random.PRNGKey(i))
+    d_during = dist(ema, params)
+    assert d_during > 0  # shadow lags the live weights
+
+    # freeze: repeated EMA updates with static params converge to them
+    for _ in range(30):
+        ema = ar.ema_update(ema, params, 0.5)
+    assert dist(ema, params) < 1e-4 * max(d_during, 1.0)
+    # EMA weights drive the standard eval path
+    out = ar.validate(ema, CFG, [(px, labels)])
+    assert 0 <= out["top1"] <= 100
+
+
 def test_lstr_forward_and_stream():
     from streamformer_tpu.downstream import oad_lstr as L
 

@@ -47,6 +47,7 @@ def test_ar_cli(videos, tmp_path, monkeypatch):
         "--num_classes", "2", "--batch_size", "2", "--epochs", "1",
         "--lr", "1e-3", "--warmup_epochs", "0", "--mixup", "0",
         "--num_workers", "1", "--output_dir", out, "--patch_size", "16",
+        "--model_ema", "--model_ema_decay", "0.9",
     ] + TINY
     monkeypatch.setattr(sys, "argv", argv)
     from streamformer_tpu.downstream import ar_run
@@ -55,6 +56,7 @@ def test_ar_cli(videos, tmp_path, monkeypatch):
     with open(os.path.join(out, "log.txt")) as f:
         line = json.loads(f.readline())
     assert np.isfinite(line["loss"]) and "top1" in line
+    assert "top1_ema" in line  # --model_ema also evaluates the EMA shadow
 
 
 def test_videoqa_cli(videos, tmp_path, monkeypatch):
@@ -130,3 +132,50 @@ def test_oad_cli(tmp_path, monkeypatch):
     with open(os.path.join(out, "log.txt")) as f:
         line = json.loads(f.readline())
     assert np.isfinite(line["loss"]) and "mAP" in line
+
+
+def test_ovis_cli(tmp_path, monkeypatch):
+    """Train 1 tiny epoch then run tracker inference + YTVIS AP via
+    --val_anno (reference train_ctvis.py + CodaLab-eval pipeline)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    froot = tmp_path / "frames" / "v"
+    froot.mkdir(parents=True)
+    names = []
+    for i in range(4):
+        p = f"v/{i:05d}.jpg"
+        img = np.zeros((40, 48, 3), np.uint8)
+        img[5:25, 5:25] = (255, 0, 0)  # a stable red square instance
+        cv2.imwrite(str(tmp_path / "frames" / p), img)
+        names.append(p)
+    anno = {
+        "videos": [{"id": 1, "file_names": names, "height": 40, "width": 48}],
+        "annotations": [{
+            "video_id": 1, "category_id": 1,
+            "segmentations": [[[5, 5, 25, 5, 25, 25, 5, 25]]] * 4,
+        }],
+        "categories": [{"id": 1, "name": "cat"}],
+    }
+    ap = str(tmp_path / "vis.json")
+    with open(ap, "w") as f:
+        json.dump(anno, f)
+    out = str(tmp_path / "out")
+    argv = [
+        "ovis_run", "--anno", ap, "--val_anno", ap,
+        "--video_root", str(tmp_path / "frames"),
+        "--num_classes", "2", "--num_queries", "4", "--epochs", "1",
+        "--lr", "1e-3", "--tracker", "HungarianTracker",
+        "--output_dir", out,
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import ovis_run
+
+    ovis_run.main()
+    with open(os.path.join(out, "eval.json")) as f:
+        line = json.load(f)
+    assert line["tracker"] == "HungarianTracker"
+    assert "AP" in line and np.isfinite(line["AP"])
+    with open(os.path.join(out, "results.json")) as f:
+        rows = json.load(f)
+    assert isinstance(rows, list)

@@ -101,3 +101,43 @@ def test_ctvis_contrastive_loss(rng):
         lambda k: CL.contrastive_loss(k, ref, ids_k, ids_r)
     )(key)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multi_ref_contrastive_loss(rng):
+    """3-frame fixture: the multi-reference plugin prefers consistent
+    identities across ALL frame pairs, is differentiable, and is selectable
+    through the d2-config CL_PLUGIN block (reference MultiRefCLPlugin)."""
+    d, q, f = 8, 4, 3
+    base = rng.standard_normal((q, d)).astype(np.float32) * 2
+    embeds = np.stack([
+        base + 0.01 * rng.standard_normal((q, d)).astype(np.float32)
+        for _ in range(f)
+    ])
+    embeds = jnp.asarray(embeds)
+    ids_ok = jnp.asarray([[0, 1, 2, -1]] * f)
+    # frame 2 swaps identities 0/1 -> anchors' positives become hard
+    ids_bad = jnp.asarray([[0, 1, 2, -1], [0, 1, 2, -1], [1, 0, 2, -1]])
+    l_ok = CL.multi_ref_contrastive_loss(embeds, ids_ok, one_direction=False)
+    l_bad = CL.multi_ref_contrastive_loss(embeds, ids_bad, one_direction=False)
+    assert float(l_ok) < float(l_bad)
+    # one_direction (anchor = frame 0 only) matches the reference's break
+    l_one = CL.multi_ref_contrastive_loss(embeds, ids_ok, one_direction=True)
+    assert np.isfinite(float(l_one))
+    g = jax.grad(
+        lambda e: CL.multi_ref_contrastive_loss(e, ids_ok, one_direction=False)
+    )(embeds)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # d2-config dispatch: CL_PLUGIN_NAME selects the variant
+    l_multi = CL.cl_loss_from_config(
+        embeds, ids_ok,
+        {"cl_plugin_name": "MultiRefCLPlugin", "one_direction": False},
+    )
+    np.testing.assert_allclose(float(l_multi), float(l_ok), rtol=1e-6)
+    l_pair = CL.cl_loss_from_config(embeds, ids_ok,
+                                    {"cl_plugin_name": "CTCLPlugin"})
+    np.testing.assert_allclose(
+        float(l_pair),
+        float(CL.contrastive_loss(embeds[0], embeds[1], ids_ok[0], ids_ok[1])),
+        rtol=1e-6,
+    )

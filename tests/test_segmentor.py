@@ -121,6 +121,121 @@ def test_tracker_identity_consistency():
     assert ids3 == [2]
 
 
+def test_hungarian_tracker_beats_greedy_on_steal():
+    """Crossing fixture where detection order makes greedy matching steal
+    the wrong track (the reference's own resolution,
+    hungarian_tracker.py:289-311) while the globally optimal assignment
+    recovers both identities."""
+
+    def run(match_type):
+        tr = SEG.HungarianTracker(
+            match_metric="cosine", match_type=match_type,
+            match_score_thr=0.2, embed_type="last",
+        )
+        ids0 = tr.update(
+            np.array([[1.0, 0.0], [0.7071, 0.7071]], np.float32),
+            scores=np.array([0.9, 0.9]),
+        )
+        assert ids0 == [0, 1]
+        # det order = score order: x (truly track 1) is ambiguous toward
+        # track 0 (cos 0.971 vs 0.856); y (truly track 0) matches it at 1.0
+        return tr.update(
+            np.array([[0.97, 0.24], [1.0, 0.0]], np.float32),
+            scores=np.array([0.9, 0.8]),
+        )
+
+    assert run("greedy") == [0, 1]  # greedy steals: both ids wrong
+    assert run("hungarian") == [1, 0]  # global assignment recovers
+
+
+def test_hungarian_tracker_occlusion_and_dead_frames():
+    """Identity survives occlusion within num_dead_frames and is retired
+    (new id on reappearance) beyond it — the memory-bank behavior the
+    greedy SimpleTracker lacks (memory_bank.py:95-103)."""
+    tr = SEG.HungarianTracker(
+        match_metric="cosine", num_dead_frames=3, embed_type="similarity_guided"
+    )
+    a = np.array([[1.0, 0.0]], np.float32)
+    b = np.array([[0.0, 1.0]], np.float32)
+    assert tr.update(a, frame_id=0) == [0]
+    assert tr.update(b, frame_id=1) == [1]
+    assert tr.update(b, frame_id=2) == [1]
+    # A reappears at frame 3: gap 3 <= num_dead_frames -> same id
+    assert tr.update(a, frame_id=3) == [0]
+    # A absent until frame 9: gap 6 > 3 -> tracklet retired, new id
+    assert tr.update(b, frame_id=4) == [1]
+    assert tr.update(a, frame_id=9) == [2]
+
+
+def test_hungarian_tracker_similarity_guided_resists_outlier():
+    """An occlusion-corrupted embedding barely moves the similarity-guided
+    fused embedding but drags the plain momentum EMA (arXiv 2203.14208
+    fusion, memory_bank.py:42-49)."""
+    t = SEG._Tracklet(0, maximum_cache=10)
+    clean = np.array([1.0, 0.0], np.float32)
+    corrupt = np.array([-0.2, 0.98], np.float32)  # dissimilar outlier
+    for f in range(3):
+        t.update(1.0, clean, f)
+    t.update(0.4, corrupt, 3)
+    cos = lambda u, v: float(
+        np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-9)
+    )
+    assert cos(t.sim_guided_embed, clean) > 0.99  # beta ~ 0: unmoved
+    assert cos(t.momentum_embed, clean) < 0.9  # EMA dragged toward outlier
+    # all four fused views are well-formed
+    for et in ("last", "momentum", "similarity_guided",
+               "temporally_weighted_softmax"):
+        assert t.fused_embed(et).shape == (2,)
+
+
+def test_track_video_and_dispatch():
+    """track_video drives selection -> mask NMS -> tracking and its output
+    feeds the YTVIS exporter; make_tracker honors TRACKER_NAME."""
+    from streamformer_tpu.eval.ytvis import collect_video_result
+
+    rng = np.random.default_rng(0)
+    T, Q, C, H, W, D = 3, 4, 2, 8, 8, 8
+    logits = np.full((T, Q, C + 1), -4.0, np.float32)
+    logits[..., -1] = 6.0  # noise queries predict no-object dominantly
+    masks = np.full((T, Q, H, W), -8.0, np.float32)
+    embeds = rng.standard_normal((T, Q, D)).astype(np.float32) * 0.01
+    # two stable instances in queries 0/1 across all frames
+    for t in range(T):
+        logits[t, 0, 0] = 4.0
+        masks[t, 0, :, : W // 2] = 8.0
+        embeds[t, 0] += np.eye(D, dtype=np.float32)[0] * 5
+        logits[t, 1, 1] = 4.0
+        masks[t, 1, :, W // 2 :] = 8.0
+        embeds[t, 1] += np.eye(D, dtype=np.float32)[1] * 5
+    tracker = SEG.make_tracker("HungarianTracker", match_metric="cosine")
+    outs = SEG.track_video(logits, masks, embeds, tracker)
+    assert len(outs) == T
+    for fo in outs:
+        assert sorted(fo["track_ids"]) == [0, 1]
+    rows = collect_video_result(7, outs)
+    assert len(rows) == 2
+    assert all(len(r["segmentations"]) == T for r in rows)
+    assert {r["category_id"] for r in rows} == {0, 1}
+    # dispatch also builds the greedy baseline
+    assert isinstance(SEG.make_tracker("SimpleTracker"), SEG.SimpleTracker)
+
+
+def test_tracker_from_extras_honors_tracker_name(tmp_path):
+    y = tmp_path / "cfg.yaml"
+    y.write_text(
+        "MODEL:\n  TRACKER:\n    TRACKER_NAME: HungarianTracker\n"
+        "    MATCH_METRIC: cosine\n    MATCH_SCORE_THR: 0.25\n"
+        "    MEMORY_BANK:\n      EMBED_TYPE: momentum\n"
+        "      NUM_DEAD_FRAMES: 7\n"
+    )
+    _, extras = SEG.config_from_detectron2_yaml(str(y))
+    tr = SEG.tracker_from_extras(extras)
+    assert isinstance(tr, SEG.HungarianTracker)
+    assert tr.match_metric == "cosine"
+    assert tr.match_score_thr == 0.25
+    assert tr.embed_type == "momentum" and tr.num_dead_frames == 7
+
+
 def test_detectron2_config_compat(tmp_path):
     """Reference CTVIS YAML (with _BASE_ chain) -> SegmentorConfig."""
     base = tmp_path / "M2F.yaml"

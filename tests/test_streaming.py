@@ -139,3 +139,56 @@ def test_streaming_int8_cache_close_to_full_clip(rng):
     cos = (f * g).sum() / np.sqrt((f**2).sum() * (g**2).sum())
     assert cos > 0.999, cos
     np.testing.assert_allclose(g, f, atol=0.05)
+
+
+def test_streaming_beyond_trained_positions_matches_full_clip():
+    """Streams longer than the trained time-embedding table (the
+    ``total > num_frames`` regime) still satisfy the streaming == full-clip
+    contract when the caller passes ``total_frames_hint``.
+
+    Chosen contract (deliberate deviation from the reference): ONE
+    nearest-interpolated table for the whole stream, fixed by the
+    ``total_frames_hint`` the stream announces up front, with positions past
+    the table clamped to its last row (encoder.py
+    time_embeddings_for_positions). The reference instead re-interpolates
+    the table every step from the CURRENT total (timesformer_encoder.py:
+    336-369), silently re-embedding PAST frames each step — cache-incoherent
+    (cached K/V were computed under the old embeddings), so its own
+    cache==full-clip contract cannot hold past the trained range. Ours does,
+    because the full-clip path (model_forward, total = t) interpolates to
+    the same final length.
+
+    Fixture: 24-frame stream into a capacity-32 cache, trained positions =
+    8 (CFG.num_frames), fed in uneven chunks.
+    """
+    t_total = 24
+    cfg = CFG.replace(cache_capacity=32)
+    params, px = _setup(t_total=t_total)
+    full = encoder.model_forward(params, px, cfg)
+
+    cache = encoder.init_cache(cfg, batch=2)
+    outs = []
+    for lo, hi in [(0, 3), (3, 11), (11, 16), (16, 24)]:
+        o, cache = encoder.streaming_forward(
+            params, px[:, lo:hi], cache, cfg, total_frames_hint=t_total
+        )
+        outs.append(o)
+    got_pool = np.concatenate(
+        [np.asarray(o["pooler_output"]) for o in outs], axis=1
+    )
+    got_last = np.concatenate(
+        [np.asarray(o["last_hidden_state"]) for o in outs], axis=1
+    )
+    np.testing.assert_allclose(
+        got_pool, np.asarray(full["pooler_output"]), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        got_last, np.asarray(full["last_hidden_state"]), atol=2e-4, rtol=2e-4
+    )
+
+    # without the hint the stream clamps to the trained table: well-formed
+    # (finite) but a DIFFERENT sequence than the interpolated full clip —
+    # pin that the clamp path stays finite so the fallback is usable
+    cache2 = encoder.init_cache(cfg, batch=2)
+    o2, cache2 = encoder.streaming_forward(params, px, cache2, cfg)
+    assert np.isfinite(np.asarray(o2["pooler_output"])).all()
