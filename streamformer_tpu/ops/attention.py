@@ -956,30 +956,117 @@ def _ftf_fwd(q, k, v, num_heads):
     return _fullclip_temporal_pallas(q, k, v, num_heads), (q, k, v)
 
 
-def _ftf_dpa(q, k, v, num_heads):
-    """dot_product_attention formulation for the backward recompute: XLA's
-    fused attention bwd beats autodiff through the einsum reference (which
-    materializes (R, H, T, T) score tensors at tiny-matmul shapes)."""
+def _fullclip_temporal_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                                  dq_ref, dk_ref, dv_ref,
+                                  dk_acc, dv_acc, *,
+                                  num_heads: int, t_len: int):
+    """Fused backward for the D-packed causal temporal attention: the same
+    segmented-matmul formulation as the forward (scores via a (rows, D) @
+    (D, H) segment reduction), with the query position as the INNER GRID
+    dimension instead of an unrolled Python loop (an unrolled body makes
+    Mosaic's compile time explode ~30x here). For a fixed row block the k/v
+    blocks stay VMEM-resident across the qt sweep; dk/dv accumulate in fp32
+    scratch and flush on the last qt. Avoids the tiny (16, 64) @ (64, 16)
+    matmuls that cap XLA's attention backward at a few TFLOP/s."""
+    j = pl.program_id(1)
+    rb, t, d = k_ref.shape
+    qb = q_ref.shape[1]  # query-block width (8: the sublane tile)
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    seg = (d_idx // dh == h_idx).astype(jnp.float32)
+    seg_t = seg.T
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k_f = k_ref[...].astype(jnp.float32)  # (RB, T, D)
+    v_f = v_ref[...].astype(jnp.float32)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (rb, t, h), 1)
+    dk_sum = jnp.zeros((rb, t, d), jnp.float32)
+    dv_sum = jnp.zeros((rb, t, d), jnp.float32)
+    for p_i in range(qb):  # static sublane index within the query block
+        qt = j * qb + p_i  # dynamic absolute position (mask only)
+        q_t = q_ref[:, p_i, :].astype(jnp.float32)  # (RB, D)
+        g_t = g_ref[:, p_i, :].astype(jnp.float32)
+        x = k_f * q_t[:, None, :]
+        s = mm(x.reshape(rb * t, d), seg).reshape(rb, t, h) * scale
+        s = jnp.where(k_idx <= qt, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)  # (RB, T, H)
+        # zero out padded query positions (t rounded up to the sublane
+        # tile) so they don't pollute the dk/dv accumulators
+        p = p * jnp.where(qt < t_len, 1.0, 0.0)
+        p_d = mm(p.reshape(rb * t, h), seg_t).reshape(rb, t, d)
+        dv_sum = dv_sum + p_d * g_t[:, None, :]
+        dp = mm((v_f * g_t[:, None, :]).reshape(rb * t, d), seg)
+        dp = dp.reshape(rb, t, h)
+        delta = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = p * (dp - delta) * scale  # masked keys: p == 0 -> ds == 0
+        ds_d = mm(ds.reshape(rb * t, h), seg_t).reshape(rb, t, d)
+        dq_ref[:, p_i, :] = jnp.sum(ds_d * k_f, axis=1).astype(dq_ref.dtype)
+        dk_sum = dk_sum + ds_d * q_t[:, None, :]
+    dk_acc[...] += dk_sum
+    dv_acc[...] += dv_sum
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _fullclip_temporal_bwd_pallas(q, k, v, g, num_heads, row_block=16,
+                                  interpret=False):
     r, t, d = q.shape
-    dh = d // num_heads
-    fold = lambda a: a.reshape(r, t, num_heads, dh)
-    out = jax.nn.dot_product_attention(
-        fold(q), fold(k), fold(v), is_causal=True
-    )
-    return out.reshape(r, t, d)
+    while r % row_block:
+        row_block -= 1
+    qb = min(8, t)  # query-block width: the sublane tile (static slices)
+    tq = _round_up(t, qb)
+    if tq != t:
+        pad = [(0, 0), (0, tq - t), (0, 0)]
+        q, g = jnp.pad(q, pad), jnp.pad(g, pad)
+    # grid inner dim sweeps query blocks; k/v/dk/dv blocks are constant over
+    # it (one DMA per row block), q/g/dq stream qb positions at a time
+    row_spec = pl.BlockSpec((row_block, qb, d), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((row_block, t, d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((r, t, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fullclip_temporal_bwd_kernel,
+                          num_heads=num_heads, t_len=t),
+        grid=(r // row_block, tq // qb),
+        in_specs=[row_spec, kv_spec, kv_spec, row_spec],
+        out_specs=(row_spec, kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct((r, tq, d), q.dtype), shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((row_block, t, d), jnp.float32),
+            pltpu.VMEM((row_block, t, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq[:, :t], dk, dv
 
 
 def _ftf_bwd(num_heads, res, g):
     q, k, v = res
-    if q.dtype == jnp.bfloat16:
-        _, vjp = jax.vjp(
-            lambda q, k, v: _ftf_dpa(q, k, v, num_heads), q, k, v
-        )
-    else:
-        _, vjp = jax.vjp(
-            lambda q, k, v: fullclip_temporal_reference(q, k, v, num_heads),
-            q, k, v,
-        )
+    if q.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        return _fullclip_temporal_bwd_pallas(q, k, v, g, num_heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v: fullclip_temporal_reference(q, k, v, num_heads),
+        q, k, v,
+    )
     return vjp(g)
 
 
@@ -1058,25 +1145,94 @@ def _fsf_fwd(q, k, v, num_heads):
     return _spatial_flat_pallas(q, k, v, num_heads), (q, k, v)
 
 
-def _fsf_dpa(q, k, v, num_heads):
+def _spatial_flat_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                             dq_ref, dk_ref, dv_ref, *,
+                             heads_per_block: int, dh: int):
+    """Fused flash-style backward for the per-row spatial attention,
+    transpose-free: both orientations of every (N, N) intermediate are
+    produced DIRECTLY by matmuls with natural (1,0)/(1,1) contractions —
+    s^T = k q^T, dp^T = v g^T — and the per-query softmax stats / delta come
+    back out of the transposed orientation as sublane (axis-0) reductions,
+    so Mosaic never materializes a matrix transpose and the (R, H, N, N)
+    probability tensors never touch HBM (the XLA recompute path writes them
+    twice per layer). One grid instance = one row x ``heads_per_block``
+    heads (lane-dim block of heads_per_block*dh)."""
+    _, n, _ = q_ref.shape
+    scale = dh**-0.5
+    qf = q_ref[0].astype(jnp.float32)  # (N, HB*dh)
+    kf = k_ref[0].astype(jnp.float32)
+    vf = v_ref[0].astype(jnp.float32)
+    gf = g_ref[0].astype(jnp.float32)
+
+    def mm(a, b):  # (M, K) @ (K, L)
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mmt(a, b):  # (M, K) @ (L, K)^T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dqs, dks, dvs = [], [], []
+    for hh in range(heads_per_block):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        qh, kh, vh, gh = qf[:, sl], kf[:, sl], vf[:, sl], gf[:, sl]
+        s = mmt(qh, kh) * scale  # (Nq, Nk)
+        s_t = mmt(kh, qh) * scale  # (Nk, Nq) — direct, not a transpose
+        m = jnp.max(s, axis=-1, keepdims=True)  # (Nq, 1)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / l
+        # per-column stats of s_t ARE the per-query stats: axis-0 reduce
+        m_t = jnp.max(s_t, axis=0, keepdims=True)  # (1, Nq)
+        p_t = jnp.exp(s_t - m_t)
+        p_t = p_t / jnp.sum(p_t, axis=0, keepdims=True)
+        dvs.append(mm(p_t, gh))  # p^T g without transposing p
+        dp = mmt(gh, vh)  # (Nq, Nk)
+        dp_t = mmt(vh, gh)  # (Nk, Nq)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)  # (Nq, 1)
+        delta_t = jnp.sum(dp_t * p_t, axis=0, keepdims=True)  # (1, Nq)
+        ds = p * (dp - delta) * scale
+        ds_t = p_t * (dp_t - delta_t) * scale
+        dqs.append(mm(ds, kh))
+        dks.append(mm(ds_t, qh))  # ds^T q without transposing ds
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+def _spatial_flat_bwd_pallas(q, k, v, g, num_heads, interpret=False):
     r, n, d = q.shape
     dh = d // num_heads
-    fold = lambda a: a.reshape(r, n, num_heads, dh)
-    out = jax.nn.dot_product_attention(fold(q), fold(k), fold(v))
-    return out.reshape(r, n, d)
+    # lane-dim blocks must cover >= 128 lanes: group heads per block
+    hb = max(1, 128 // dh)
+    while num_heads % hb:
+        hb -= 1
+    db = hb * dh
+    spec = pl.BlockSpec((1, n, db), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((r, n, d), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_spatial_flat_bwd_kernel,
+                          heads_per_block=hb, dh=dh),
+        grid=(r, d // db),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, g)
 
 
 def _fsf_bwd(num_heads, res, g):
     q, k, v = res
-    if q.dtype == jnp.bfloat16:
-        # XLA's fused attention bwd (see _ftf_dpa note)
-        _, vjp = jax.vjp(
-            lambda q, k, v: _fsf_dpa(q, k, v, num_heads), q, k, v
-        )
-    else:
-        _, vjp = jax.vjp(
-            lambda q, k, v: spatial_flat_reference(q, k, v, num_heads), q, k, v
-        )
+    if q.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        return _spatial_flat_bwd_pallas(q, k, v, g, num_heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v: spatial_flat_reference(q, k, v, num_heads), q, k, v
+    )
     return vjp(g)
 
 

@@ -24,8 +24,13 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_PARALLEL = ("qkv", "fc1")  # output dim sharded
-ROW_PARALLEL = ("out", "fc2", "temporal_dense")  # input dim sharded
+# encoder tree (models/encoder.py): fused qkv + MLP fc1/fc2 + projections.
+# LM tree (models/language_model.py): split q/k/v + SwiGLU gate/up/down —
+# the Qwen2.5/Llama vision-tower deployment story (a 7B LM is ~14 GB bf16,
+# above a single 16 GB v5e chip once the KV cache lands; TP=2 over ICI
+# halves both weights and cache).
+COLUMN_PARALLEL = ("qkv", "fc1", "q", "k", "v", "gate", "up")  # output dim
+ROW_PARALLEL = ("out", "fc2", "temporal_dense", "o", "down")  # input dim
 
 
 def _path_names(path):
@@ -42,6 +47,14 @@ def param_spec(path, leaf) -> P:
             return P(None, "model")
         if parent in ROW_PARALLEL:
             return P("model", None)
+    # LM embedding / head matrices are plain leaves (no {"kernel": ...}):
+    # vocab-shard both (embed_tokens (V, D) dim 0, lm_head (D, V) dim 1) —
+    # GSPMD turns sharded-vocab logits + gather into the usual
+    # all-gather/psum pair
+    if names[-1] == "embed_tokens":
+        return P("model", None)
+    if names[-1] == "lm_head":
+        return P(None, "model")
     return P()
 
 
