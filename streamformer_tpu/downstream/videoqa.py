@@ -349,6 +349,134 @@ def make_videoqa_train_step(tower_cfg, lm_cfg, stage: int,
     return tx, step
 
 
+def sequence_logps(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-sequence summed next-token log-probability over the label tokens
+    (-100 = ignore) — reference trl DPOTrainer.get_batch_logps with
+    ``average_log_prob=False`` (dpo_trainer.py:797-826)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok * valid, axis=-1)
+
+
+def dpo_loss(
+    policy_chosen_lp: jnp.ndarray,
+    policy_rejected_lp: jnp.ndarray,
+    ref_chosen_lp: jnp.ndarray,
+    ref_rejected_lp: jnp.ndarray,
+    beta: float = 0.1,
+    label_smoothing: float = 0.0,
+):
+    """Sigmoid DPO loss + rewards (reference trl dpo_trainer.py:730-793,
+    loss_type='sigmoid', the variant the LLaVA train_dpo recipe uses)."""
+    logits = (policy_chosen_lp - policy_rejected_lp) - (
+        ref_chosen_lp - ref_rejected_lp
+    )
+    losses = (
+        -jax.nn.log_sigmoid(beta * logits) * (1 - label_smoothing)
+        - jax.nn.log_sigmoid(-beta * logits) * label_smoothing
+    )
+    chosen_rewards = beta * (policy_chosen_lp - ref_chosen_lp)
+    rejected_rewards = beta * (policy_rejected_lp - ref_rejected_lp)
+    return losses, chosen_rewards, rejected_rewards
+
+
+def make_videoqa_dpo_step(tower_cfg, lm_cfg, stage: int = 3,
+                          beta: float = 0.1, dpo_alpha: float = 1.0,
+                          gamma: float = 1.0, clip_grad: float = 1.0):
+    """DPO preference training step (reference
+    downstream/VideoQA/llava/train/train_dpo.py + vendored trl
+    DPOTrainer.concatenated_forward/get_batch_loss_metrics:928-983):
+    ``loss = dpo_alpha * mean(-logsigmoid(beta * Δlogratio)) +
+    gamma * SFT-CE(chosen)``, with a frozen reference-model copy supplying
+    the baseline log-ratios. Trainability/LRs follow stage_policy(stage).
+
+    Batches: ``{"pixel_values", "chosen": sub, "rejected": sub}`` where
+    each sub carries the stage-3 SFT fields (``text_ids``, splice-plan
+    arrays, ``attention_mask``, ``labels``) for its response. Returns
+    (tx, step); ``step(params, ref_params, opt_state, batch) ->
+    (params, opt_state, loss, metrics)`` with reward margins/accuracy.
+    """
+    import optax
+
+    from streamformer_tpu.models import encoder as enc
+    from streamformer_tpu.models import language_model as LM
+
+    pol = stage_policy(stage)
+    name_of = {"tower": "vision_tower", "projector": "projector", "lm": "lm"}
+
+    def label_tree(params):
+        return {
+            part: jax.tree.map(
+                lambda _: part if name_of[part] in pol["train"] else "freeze",
+                sub,
+            )
+            for part, sub in params.items()
+        }
+
+    transforms = {
+        part: optax.chain(
+            optax.clip_by_global_norm(clip_grad),
+            optax.adamw(pol["lr"][name_of[part]]),
+        )
+        for part in ("tower", "projector", "lm")
+        if name_of[part] in pol["train"]
+    }
+    transforms["freeze"] = optax.set_to_zero()
+    tx = optax.multi_transform(transforms, label_tree)
+
+    def encode(params, px):
+        feats = enc.model_forward(params["tower"], px, tower_cfg)[
+            "last_hidden_state"
+        ].mean(axis=2)
+        return mm_projector(params["projector"], feats)
+
+    def response_logps(params, img, sub):
+        text = LM.embed_tokens(params["lm"], sub["text_ids"])
+        embeds = apply_splice_plan(sub, text, img)
+        out, _ = LM.forward(
+            params["lm"], embeds, lm_cfg,
+            attention_mask=sub["attention_mask"].astype(jnp.int32),
+        )
+        lab = jnp.where(sub["attention_mask"], sub["labels"], -100)
+        return sequence_logps(out["logits"], lab), out["logits"], lab
+
+    def loss_fn(params, ref_params, batch):
+        img = encode(params, batch["pixel_values"])
+        pc, logits_c, lab_c = response_logps(params, img, batch["chosen"])
+        pr, _, _ = response_logps(params, img, batch["rejected"])
+        ref_img = encode(ref_params, batch["pixel_values"])
+        rc, _, _ = response_logps(ref_params, ref_img, batch["chosen"])
+        rr, _, _ = response_logps(ref_params, ref_img, batch["rejected"])
+        rc = jax.lax.stop_gradient(rc)
+        rr = jax.lax.stop_gradient(rr)
+        losses, cr, rj = dpo_loss(pc, pr, rc, rr, beta)
+        sft = LM.lm_loss(logits_c, lab_c)
+        loss = dpo_alpha * losses.mean() + gamma * sft
+        metrics = {
+            "rewards_chosen": cr.mean(),
+            "rewards_rejected": rj.mean(),
+            "reward_margin": (cr - rj).mean(),
+            "reward_accuracy": (cr > rj).mean(),
+            "sft_loss": sft,
+        }
+        return loss, metrics
+
+    @jax.jit
+    def step(params, ref_params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, ref_params, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return tx, step
+
+
 def score_option_loglik(
     model: "LlavaQwenModel",
     prompt_ids: np.ndarray,  # (Lp,) with IMAGE_TOKEN_INDEX

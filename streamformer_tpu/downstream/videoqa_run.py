@@ -30,6 +30,14 @@ def get_args():
     p.add_argument("--video_root", default="")
     p.add_argument("--output_dir", default="output/videoqa")
     p.add_argument("--stage", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--dpo", action="store_true",
+                   help="DPO preference training (reference train_dpo.py): "
+                   "--data rows are {video, prompt, chosen, rejected}; the "
+                   "stage policy still controls trainability/LRs")
+    p.add_argument("--dpo_beta", type=float, default=0.1)
+    p.add_argument("--dpo_alpha", type=float, default=1.0)
+    p.add_argument("--dpo_gamma", type=float, default=1.0,
+                   help="weight of the auxiliary SFT-CE term on chosen")
     p.add_argument("--model_path", default=None, help="HF backbone dir")
     p.add_argument("--lm_path", default=None,
                    help="HF Qwen2/Llama dir (safetensors) for the LM")
@@ -163,7 +171,14 @@ def main():
         jax.random.PRNGKey(args.seed + 2), cfg.hidden_size, lm_cfg.hidden_size
     )
     params = {"tower": tower_params, "projector": proj, "lm": lm_params}
-    tx, step = VQ.make_videoqa_train_step(cfg, lm_cfg, args.stage)
+    if args.dpo:
+        tx, step = VQ.make_videoqa_dpo_step(
+            cfg, lm_cfg, stage=args.stage, beta=args.dpo_beta,
+            dpo_alpha=args.dpo_alpha, gamma=args.dpo_gamma,
+        )
+        ref_params = jax.tree.map(jnp.copy, params)  # frozen reference model
+    else:
+        tx, step = VQ.make_videoqa_train_step(cfg, lm_cfg, args.stage)
     opt_state = tx.init(params)
 
     with open(args.data) as f:
@@ -182,23 +197,51 @@ def main():
         t0 = time.time()
         losses = []
         order = np.random.default_rng(args.seed + epoch).permutation(len(rows))
+        reward_accs = []
         for si, ri in enumerate(order):
             row = rows[int(ri)]
-            ids, labels = build_sample(row, tok, VQ.IMAGE_TOKEN_INDEX)
-            plan = VQ.build_splice_plan(ids, args.num_frames, args.max_len,
-                                        labels)
-            batch = {k: jnp.asarray(v)[None] for k, v in plan.items()}
-            batch["text_ids"] = jnp.asarray(
-                np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
-            )[None]
-            batch["pixel_values"] = load_video(row["video"])
-            params, opt_state, loss = step(params, opt_state, batch)
+            if args.dpo:
+                def sub_of(resp):
+                    conv = {"conversations": [
+                        {"from": "human", "value": row["prompt"]},
+                        {"from": "gpt", "value": resp},
+                    ]}
+                    ids, labels = build_sample(conv, tok,
+                                               VQ.IMAGE_TOKEN_INDEX)
+                    plan = VQ.build_splice_plan(ids, args.num_frames,
+                                                args.max_len, labels)
+                    sub = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+                    sub["text_ids"] = jnp.asarray(
+                        np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
+                    )[None]
+                    return sub
+                batch = {
+                    "pixel_values": load_video(row["video"]),
+                    "chosen": sub_of(row["chosen"]),
+                    "rejected": sub_of(row["rejected"]),
+                }
+                params, opt_state, loss, m = step(params, ref_params,
+                                                  opt_state, batch)
+                reward_accs.append(float(m["reward_accuracy"]))
+            else:
+                ids, labels = build_sample(row, tok, VQ.IMAGE_TOKEN_INDEX)
+                plan = VQ.build_splice_plan(ids, args.num_frames,
+                                            args.max_len, labels)
+                batch = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+                batch["text_ids"] = jnp.asarray(
+                    np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
+                )[None]
+                batch["pixel_values"] = load_video(row["video"])
+                params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
             if args.steps_per_epoch and si + 1 >= args.steps_per_epoch:
                 break
         stats = {"epoch": epoch, "stage": args.stage,
                  "loss": float(np.mean(losses)),
                  "epoch_time": time.time() - t0}
+        if args.dpo and reward_accs:
+            stats["dpo"] = True
+            stats["reward_accuracy"] = float(np.mean(reward_accs))
         print(json.dumps(stats))
         metrics_lib.write_log_line(args.output_dir, stats)
         ckpt_lib.save_checkpoint(args.output_dir, epoch, params, opt_state)

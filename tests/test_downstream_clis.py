@@ -179,3 +179,42 @@ def test_ovis_cli(tmp_path, monkeypatch):
     with open(os.path.join(out, "results.json")) as f:
         rows = json.load(f)
     assert isinstance(rows, list)
+
+
+def test_videoqa_dpo_cli(videos, tmp_path, monkeypatch):
+    """DPO preference-training mode of the VideoQA CLI (reference
+    llava/train/train_dpo.py data format: video/prompt/chosen/rejected)."""
+    data = [
+        {
+            "video": videos[0],
+            "prompt": "<image>\nwhat happens",
+            "chosen": "a detailed correct description",
+            "rejected": "nothing",
+        },
+        {
+            "video": videos[1],
+            "prompt": "<image>\ncount the objects",
+            "chosen": "three objects",
+            "rejected": "maybe",
+        },
+    ]
+    data_path = str(tmp_path / "dpo.json")
+    with open(data_path, "w") as f:
+        json.dump(data, f)
+    out = str(tmp_path / "out")
+    argv = [
+        "videoqa_run", "--data", data_path, "--stage", "3", "--dpo",
+        "--dpo_beta", "0.5", "--epochs", "1", "--max_len", "24",
+        "--eval_samples", "0", "--output_dir", out,
+        "--lm_hidden", "32", "--lm_layers", "1", "--lm_heads", "4",
+        "--lm_kv_heads", "2", "--lm_intermediate", "64",
+        "--lm_vocab", "64",
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import videoqa_run
+
+    videoqa_run.main()
+    with open(os.path.join(out, "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["loss"]) and line["dpo"] is True
+    assert 0.0 <= line["reward_accuracy"] <= 1.0

@@ -201,3 +201,77 @@ def test_multiple_choice_eval(rng):
     }]
     res = VQ.evaluate_multiple_choice(model, rows)
     assert res["accuracy"] == 1.0 and res["n"] == 1
+
+
+def test_dpo_loss_math():
+    """Sigmoid DPO loss (reference trl dpo_trainer.py:730-793): loss falls
+    as the policy's chosen/rejected margin grows past the reference's, and
+    rewards are beta-scaled log-ratios."""
+    pc = jnp.asarray([2.0, -1.0])
+    pr = jnp.asarray([0.0, -1.0])
+    rc = jnp.asarray([1.0, -1.0])
+    rr = jnp.asarray([1.0, -1.0])
+    losses, cr, rj = VQ.dpo_loss(pc, pr, rc, rr, beta=0.1)
+    # sample 0: margin improved by 2 nats -> loss < log 2; sample 1: no
+    # improvement -> exactly log 2
+    assert float(losses[0]) < float(losses[1])
+    np.testing.assert_allclose(float(losses[1]), np.log(2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cr), [0.1, 0.0], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rj), [-0.1, 0.0], atol=1e-7)
+
+    # sequence_logps: sums only label tokens, next-token shifted
+    logits = jnp.zeros((1, 4, 5))  # uniform -> log(1/5) per token
+    labels = jnp.asarray([[-100, -100, 2, 3]])
+    lp = VQ.sequence_logps(logits, labels)
+    np.testing.assert_allclose(float(lp[0]), 2 * np.log(1 / 5), rtol=1e-6)
+
+
+def test_videoqa_dpo_training(rng):
+    """DPO step end-to-end (reference train_dpo.py + trl DPOTrainer): the
+    policy's preference margin over the frozen reference model grows, the
+    loss falls below log 2, and frozen parts obey the stage policy."""
+    lm_cfg, lm_params = _small_lm()
+    tower_params = encoder.init_params(jax.random.PRNGKey(2), CFG)
+    proj = VQ.init_mm_projector(jax.random.PRNGKey(3), CFG.hidden_size, LM_DIM)
+    params = {"tower": tower_params, "projector": proj, "lm": lm_params}
+    ref_params = jax.tree.map(jnp.copy, params)
+
+    t_img = CFG.num_frames
+
+    def sub_of(answer_ids):
+        ids = np.array([3, VQ.IMAGE_TOKEN_INDEX] + answer_ids)
+        labels = np.array([-100, -100] + answer_ids)
+        plan = VQ.build_splice_plan(ids, t_img, max_len=12, labels=labels)
+        sub = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+        sub["text_ids"] = jnp.asarray(
+            np.where(ids == VQ.IMAGE_TOKEN_INDEX, 0, ids)
+        )[None]
+        return sub
+
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((1, 4, 3, 32, 32)).astype(np.float32)
+        ),
+        "chosen": sub_of([9, 12]),
+        "rejected": sub_of([7, 5]),
+    }
+
+    tx, step = VQ.make_videoqa_dpo_step(CFG, lm_cfg, stage=3, beta=0.5,
+                                        gamma=0.1)
+    p = jax.tree.map(jnp.copy, params)
+    opt_state = tx.init(p)
+    margins, losses = [], []
+    for _ in range(5):
+        p, opt_state, loss, m = step(p, ref_params, opt_state, batch)
+        losses.append(float(loss))
+        margins.append(float(m["reward_margin"]))
+    assert all(np.isfinite(losses)), losses
+    assert margins[-1] > margins[0]  # policy prefers chosen vs the ref
+    assert float(m["reward_accuracy"]) == 1.0
+    assert losses[-1] < losses[0]
+    # stage-3 policy: projector/tower/lm all move
+    assert float(jnp.abs(p["lm"]["embed_tokens"]
+                         - params["lm"]["embed_tokens"]).max()) > 0
+    # reference stays bitwise frozen (it is never updated)
+    assert float(jnp.abs(ref_params["lm"]["embed_tokens"]
+                         - params["lm"]["embed_tokens"]).max()) == 0
