@@ -1081,15 +1081,20 @@ fused_temporal_fullclip.defvjp(_ftf_fwd, _ftf_bwd)
 def _spatial_flat_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
     """Per-row (b,t) softmax attention over N patches, heads as 64-lane
     slices of the flat D dim — avoids the ~2.7x tile-padded (..., H, dh)
-    materializations the XLA fused-attention path needs."""
+    materializations the XLA fused-attention path needs.
+
+    Matmul operands stay in the INPUT dtype with fp32 accumulation
+    (preferred_element_type): upcasting bf16 inputs to fp32 operands adds
+    no information (the data arrived as bf16) but drops the MXU to its
+    ~8x-slower fp32 path. Softmax stats run in fp32 either way."""
     rb, n, d = q_ref.shape
     h = num_heads
     dh = d // h
     scale = dh**-0.5
     for r in range(rb):
-        qf = q_ref[r].astype(jnp.float32)  # (N, D)
-        kf = k_ref[r].astype(jnp.float32)
-        vf = v_ref[r].astype(jnp.float32)
+        qf = q_ref[r]  # (N, D), input dtype
+        kf = k_ref[r]
+        vf = v_ref[r]
         outs = []
         for hh in range(h):
             sl = slice(hh * dh, (hh + 1) * dh)
@@ -1102,7 +1107,7 @@ def _spatial_flat_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(
                 jax.lax.dot_general(
-                    p, vf[:, sl], (((1,), (0,)), ((), ())),
+                    p.astype(vf.dtype), vf[:, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
