@@ -1111,6 +1111,8 @@ def _spatial_flat_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
                     preferred_element_type=jnp.float32,
                 )
             )
+        # concat once and store the full-width tile: per-head lane-slice
+        # stores measure ~40% slower here (masked partial-lane writes)
         o_ref[r] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -1152,22 +1154,23 @@ def _fsf_fwd(q, k, v, num_heads):
 
 def _spatial_flat_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
                              dq_ref, dk_ref, dv_ref, *,
-                             heads_per_block: int, dh: int):
-    """Fused flash-style backward for the per-row spatial attention,
-    transpose-free: both orientations of every (N, N) intermediate are
-    produced DIRECTLY by matmuls with natural (1,0)/(1,1) contractions —
-    s^T = k q^T, dp^T = v g^T — and the per-query softmax stats / delta come
-    back out of the transposed orientation as sublane (axis-0) reductions,
-    so Mosaic never materializes a matrix transpose and the (R, H, N, N)
-    probability tensors never touch HBM (the XLA recompute path writes them
-    twice per layer). One grid instance = one row x ``heads_per_block``
-    heads (lane-dim block of heads_per_block*dh)."""
+                             num_heads: int, dh: int):
+    """Fused flash-style backward for the per-row spatial attention.
+
+    One grid instance = one (b, t) row, all heads (full flat-D lane dim).
+    Five matmuls per head — s, dp, dq, and the two transposed-operand
+    products dk = ds^T q and dv = p^T g use in-register Mosaic transposes
+    of the (N, N) probability/score tiles. (An earlier dual-orientation
+    design recomputed s^T/dp^T by extra matmuls to avoid the transposes;
+    measured on v5e at N=196 the transpose version is ~9% faster, and
+    keeping matmul operands in bf16 with fp32 accumulation
+    (preferred_element_type) another ~5% — the (R, H, N, N) probability
+    tensors never touch HBM either way, unlike the XLA recompute path
+    which writes them twice per layer.) Grads are written per-head into
+    lane slices of the output refs — no concatenate materialization."""
     _, n, _ = q_ref.shape
     scale = dh**-0.5
-    qf = q_ref[0].astype(jnp.float32)  # (N, HB*dh)
-    kf = k_ref[0].astype(jnp.float32)
-    vf = v_ref[0].astype(jnp.float32)
-    gf = g_ref[0].astype(jnp.float32)
+    qf, kf, vf, gf = q_ref[0], k_ref[0], v_ref[0], g_ref[0]  # input dtype
 
     def mm(a, b):  # (M, K) @ (K, L)
         return jax.lax.dot_general(
@@ -1181,49 +1184,32 @@ def _spatial_flat_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
             preferred_element_type=jnp.float32,
         )
 
-    dqs, dks, dvs = [], [], []
-    for hh in range(heads_per_block):
+    for hh in range(num_heads):
         sl = slice(hh * dh, (hh + 1) * dh)
         qh, kh, vh, gh = qf[:, sl], kf[:, sl], vf[:, sl], gf[:, sl]
-        s = mmt(qh, kh) * scale  # (Nq, Nk)
-        s_t = mmt(kh, qh) * scale  # (Nk, Nq) — direct, not a transpose
-        m = jnp.max(s, axis=-1, keepdims=True)  # (Nq, 1)
+        s = mmt(qh, kh) * scale  # (Nq, Nk) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l
-        # per-column stats of s_t ARE the per-query stats: axis-0 reduce
-        m_t = jnp.max(s_t, axis=0, keepdims=True)  # (1, Nq)
-        p_t = jnp.exp(s_t - m_t)
-        p_t = p_t / jnp.sum(p_t, axis=0, keepdims=True)
-        dvs.append(mm(p_t, gh))  # p^T g without transposing p
-        dp = mmt(gh, vh)  # (Nq, Nk)
-        dp_t = mmt(vh, gh)  # (Nk, Nq)
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)  # (Nq, 1)
-        delta_t = jnp.sum(dp_t * p_t, axis=0, keepdims=True)  # (1, Nq)
-        ds = p * (dp - delta) * scale
-        ds_t = p_t * (dp_t - delta_t) * scale
-        dqs.append(mm(ds, kh))
-        dks.append(mm(ds_t, qh))  # ds^T q without transposing ds
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dp = mmt(gh, vh)  # (Nq, Nk) fp32
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(qf.dtype)
+        pb = p.astype(qf.dtype)
+        dq_ref[0, :, sl] = mm(ds, kh).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = mm(ds.T, qh).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = mm(pb.T, gh).astype(dv_ref.dtype)
 
 
 def _spatial_flat_bwd_pallas(q, k, v, g, num_heads, interpret=False):
     r, n, d = q.shape
     dh = d // num_heads
-    # lane-dim blocks must cover >= 128 lanes: group heads per block
-    hb = max(1, 128 // dh)
-    while num_heads % hb:
-        hb -= 1
-    db = hb * dh
-    spec = pl.BlockSpec((1, n, db), lambda i, j: (i, 0, j),
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((r, n, d), q.dtype)
     return pl.pallas_call(
         functools.partial(_spatial_flat_bwd_kernel,
-                          heads_per_block=hb, dh=dh),
-        grid=(r, d // db),
+                          num_heads=num_heads, dh=dh),
+        grid=(r,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
