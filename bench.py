@@ -244,6 +244,37 @@ def main():
         tr2 = min(timed_r(k2) for _ in range(reps))
         fps_ring = batch / ((tr2 - tr1) / (k2 - k1))
 
+    # ragged serving (continuous batching): per-stream lengths — every
+    # batch row at its own position, one compiled program. Steady-state
+    # mixed positions pinned in-jit; beyond-reference capability (the
+    # torch reference's DynamicCache is lockstep-only).
+    fps_ragged = None
+    if on_tpu and budget_left(1650):
+        lens_mixed = [(3 + 7 * i) % cfg.cache_capacity for i in range(batch)]
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step_g(params, frame, c):
+            c = {**c, "len": jnp.asarray(lens_mixed, jnp.int32)}
+            out, c = encoder.streaming_forward(params, frame, c, cfg)
+            return out["pooler_output"], c
+
+        cg = encoder.init_cache(cfg, batch=batch, per_stream_len=True)
+        pooled, cg = step_g(params, frame, cg)
+        _ = float(jnp.sum(pooled))
+
+        def timed_g(k):
+            nonlocal cg
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, cg = step_g(params, frame, cg)
+            _ = float(jnp.sum(pooled))
+            return time.perf_counter() - t0
+
+        tg1 = min(timed_g(k1) for _ in range(reps))
+        tg2 = min(timed_g(k2) for _ in range(reps))
+        fps_ragged = batch / ((tg2 - tg1) / (k2 - k1))
+
     # training throughput: full fwd+bwd+adamw on the flagship encoder with
     # an AR-style classification loss (16-frame clips, bf16). Soft time
     # guard keeps the whole bench inside the driver budget.
@@ -406,6 +437,7 @@ def main():
         "fps_512_int8kv": round(fps_512_int8kv, 2) if fps_512_int8kv else None,
         "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
         "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
+        "fps_ragged_serving": round(fps_ragged, 2) if fps_ragged else None,
         "train_clips_per_sec": round(train_cps, 2) if train_cps else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
         "p50_latency_ms_per_frame": round(dt * 1e3, 2),

@@ -294,7 +294,9 @@ def time_embeddings_for_positions(
     else:
         idx = (jnp.arange(total) * t_trained) // total
         table = time_emb[idx]
-    pos = start + jnp.arange(t_new)
+    # start: () shared, or (B,) per-stream (ragged streaming) -> (B, t_new)
+    start = jnp.asarray(start)
+    pos = (start[:, None] if start.ndim == 1 else start) + jnp.arange(t_new)
     # clamp: positions beyond the (possibly interpolated) table reuse the
     # last embedding — out-of-bounds gathers would otherwise fill with NaN
     return jnp.take(table, pos, axis=0, mode="clip")
@@ -345,7 +347,9 @@ def embed(
         temb = time_embeddings_for_positions(
             params["embeddings"]["time_embeddings"], jnp.asarray(start_pos), t, total
         ).astype(dt)
-        x = x + temb[None, :, None, :]
+        # (T, D) shared start, or (B, T, D) per-stream starts (ragged)
+        x = x + (temb[None, :, None, :] if temb.ndim == 2
+                 else temb[:, :, None, :])
         if rng is not None and not deterministic:
             rng, sub = jax.random.split(rng)
             x = dropout(x, cfg.hidden_dropout_prob, sub, deterministic)
@@ -426,15 +430,47 @@ def spatial_attention(
     return dense(ctx, p["out"])
 
 
-def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h):
+def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h,
+                        rows_per_stream=None):
     """Fused pos-major decode on flat-D rows: in-kernel plane append with
     the caches aliased in/out (a host-graph dus makes XLA relayout the big
     cache around the custom call — three full copies per layer, 2.9x step
-    time; see ops/attention.py pm notes). Returns (ctx (R, D), cache)."""
+    time; see ops/attention.py pm notes). Returns (ctx (R, D), cache).
+
+    cache_len may be () (lockstep, (C, R, D) cache) or (B,) (ragged /
+    continuous batching, STREAM-MAJOR (B·C, N, D) cache — see init_cache);
+    ragged needs rows_per_stream (= N). Ragged int8 is served by the
+    einsum fallback, never dispatched here."""
     from streamformer_tpu.ops import attention as pops
 
     r, d = q_rows.shape
+    ragged = jnp.asarray(cache_len).ndim == 1
     quantized = "k_scale" in cache
+    if ragged:
+        assert not quantized, "ragged int8 takes the einsum fallback"
+        n = rows_per_stream
+        b = r // n
+        n_pad = pops.ragged_row_pad(n)
+
+        def pad_rows(a):
+            if n_pad == n:
+                return a
+            a = a.reshape(b, n, d)
+            a = jnp.pad(a, [(0, 0), (0, n_pad - n), (0, 0)])
+            return a.reshape(b * n_pad, d)
+
+        ctx, k_out, v_out = pops.fused_temporal_decode_pm_ragged(
+            pad_rows(q_rows),
+            pad_rows(kn.astype(cache["k"].dtype)),
+            pad_rows(vn.astype(cache["v"].dtype)),
+            cache["k"], cache["v"], cache_len, n_pad,
+            num_heads=h, out_dtype=q_rows.dtype,
+        )
+        cache["k"] = k_out
+        cache["v"] = v_out
+        if n_pad != n:
+            ctx = ctx.reshape(b, n_pad, d)[:, :n].reshape(r, d)
+        return ctx, cache
     r_pad = cache["k"].shape[1]  # int8 rows padded to the 32-sublane tile
     if quantized:
         knq, kns = quantize_kv(kn)  # per-row over D
@@ -495,6 +531,12 @@ def _ring_attend_pos_major(q, k, v, cache, cache_len, cfg, causal):
     r = b * n
     r_pad = cache["k"].shape[1]
     quantized = "k_scale" in cache
+    if jnp.asarray(cache_len).ndim == 1:
+        raise NotImplementedError(
+            "ragged (per-stream) lengths reach the ring cache only through "
+            "the t=1 fused-kernel decode (whose slot-mod write/mask handles "
+            "them); the multi-frame einsum ring append is lockstep-only"
+        )
 
     def view(key):  # (B, N, C, H, dh) pre-write window view
         arr = cache[key][:, :r].transpose(1, 0, 2)  # (R, C, D)
@@ -581,32 +623,45 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
     """
     b, t, n, h, dh = q.shape
     d = h * dh
-    cap = cache["k"].shape[0]
     quantized = "k_scale" in cache
     r = b * n
-    # int8 caches are row-padded to the 32-sublane tile (init_cache)
-    r_pad = cache["k"].shape[1]
+    ragged = jnp.asarray(cache_len).ndim == 1  # per-stream (B,) lengths
+    cap = cache["k"].shape[0]
 
     use_kernel = (
         _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
+        # ragged int8 takes the einsum fallback (no ragged int8 kernel —
+        # see _ragged_attend_einsum)
+        and not (ragged and quantized)
     )
     if use_kernel:
         q_rows = q[:, 0].reshape(r, d)  # (B, N, H, dh) is contiguous
         kn = k[:, 0].reshape(r, d)
         vn = v[:, 0].reshape(r, d)
         ctx, cache = _pm_kernel_dispatch(
-            q_rows, kn, vn, cache, cache_len, cfg, h
+            q_rows, kn, vn, cache, cache_len, cfg, h,
+            rows_per_stream=n if ragged else None,
         )
         return ctx.reshape(b, 1, n, d), cache
+
+    if ragged:
+        return _ragged_attend_einsum(
+            q, k, v, cache, cache_len, cfg, causal, attend_cap
+        )
 
     # einsum fallback (fp32 parity, multi-frame appends, non-causal):
     # host-graph plane dus — contiguous, but XLA may relayout-copy the cache
     # around consumers; the kernel path above is the production decode
+    # int8 caches are row-padded to the 32-sublane tile (init_cache)
+    r_pad = cache["k"].shape[1]
     k_p = k.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
     v_p = v.transpose(1, 0, 2, 3, 4).reshape(t, r, d)
     if quantized:
         for key, val in (("k", k_p), ("v", v_p)):
             qv, s = quantize_kv(val)  # per-(t, row) over D
+            if r_pad != r:
+                qv = jnp.pad(qv, [(0, 0), (0, r_pad - r), (0, 0)])
+                s = jnp.pad(s, [(0, 0), (0, r_pad - r)])
             cache[key] = jax.lax.dynamic_update_slice(
                 cache[key], qv, (cache_len, 0, 0)
             )
@@ -641,6 +696,82 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
     kpos = jax.lax.broadcasted_iota(jnp.int32, (t, att_cap), 1)
     mask = kpos <= qpos if causal else kpos < (cache_len + t)
     scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bnhqc,cbnhd->bqnhd", probs, view("v"))
+    return ctx.reshape(b, t, n, d), cache
+
+
+def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
+                          attend_cap):
+    """Einsum path for ragged (per-stream length) streaming on the
+    padded-flat pos-major cache ((C, B·n_pad, D), row-major (R', C) int8
+    scales — see init_cache(per_stream_len=True)). Serves fp32 parity,
+    multi-frame appends, non-causal, and int8 ragged (whose fused kernel
+    doesn't exist); the t=1 bf16/fp-cache decode takes
+    fused_temporal_decode_pm_ragged instead. Masks, appends and positions
+    are all per-stream."""
+    from streamformer_tpu.ops.attention import ragged_row_pad
+
+    b, t, n, h, dh = q.shape
+    d = h * dh
+    quantized = "k_scale" in cache
+    cap = cache["k"].shape[0]
+    n_pad = cache["k"].shape[1] // b
+    assert n_pad == ragged_row_pad(n)
+    assert attend_cap is None, "attend_cap bucketing is lockstep-only"
+
+    def pad_n(a):  # (B, T, N, ...) -> (B, T, n_pad, ...)
+        if n_pad == n:
+            return a
+        pads = [(0, 0)] * a.ndim
+        pads[2] = (0, n_pad - n)
+        return jnp.pad(a, pads)
+
+    # per-stream one-hot appends FIRST (the new frames must be attendable,
+    # like the lockstep path's pre-attention dus): frame ti lands at slot
+    # len[b] + ti for stream b's rows (linear contract: len + t <= cap)
+    kp = pad_n(k).transpose(1, 0, 2, 3, 4).reshape(t, b * n_pad, d)
+    vp = pad_n(v).transpose(1, 0, 2, 3, 4).reshape(t, b * n_pad, d)
+    slot_rows = jnp.repeat(cache_len, n_pad)  # (R',)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (cap, b * n_pad), 0)
+    for ti in range(t):
+        hit = cidx == (slot_rows + ti)[None, :]  # (C, R')
+        for key, val in (("k", kp), ("v", vp)):
+            vt = val[ti]  # (R', D)
+            if quantized:
+                qv, s = quantize_kv(vt)
+                cache[key] = jnp.where(
+                    hit[:, :, None], qv[None].astype(cache[key].dtype),
+                    cache[key],
+                )
+                cache[f"{key}_scale"] = jnp.where(
+                    hit.T, s[:, None], cache[f"{key}_scale"]
+                )
+            else:
+                cache[key] = jnp.where(
+                    hit[:, :, None], vt[None].astype(cache[key].dtype),
+                    cache[key],
+                )
+
+    def view(key):  # (C, B, N, H, dh) — padded rows sliced off
+        arr = cache[key].reshape(cap, b, n_pad, h, dh)[:, :, :n]
+        if quantized:
+            sc = cache[f"{key}_scale"].T.reshape(cap, b, n_pad)[:, :, :n]
+            return (arr.astype(jnp.float32) * sc[..., None, None]).astype(
+                q.dtype
+            )
+        return arr.astype(q.dtype)
+
+    scores = jnp.einsum(
+        "bqnhd,cbnhd->bnhqc", q, view("k"),
+        preferred_element_type=jnp.float32,
+    ) * (dh**-0.5)
+    qt_i = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, cap), 1)
+    qpos = cache_len[:, None, None] + qt_i[None]  # (B, t, C)
+    mask = (kpos[None] <= qpos if causal
+            else kpos[None] < (cache_len[:, None, None] + t))
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bnhqc,cbnhd->bqnhd", probs, view("v"))
     return ctx.reshape(b, t, n, d), cache
@@ -701,6 +832,7 @@ def temporal_attention(
         ctx = ctx.reshape(b, n, t, d).transpose(0, 2, 1, 3)
         return dense(ctx, p["out"])
 
+    _ragged = cache_len is not None and jnp.asarray(cache_len).ndim == 1
     if (
         cache_kv is not None
         and cfg.cache_layout == "pos_major"
@@ -708,6 +840,9 @@ def temporal_attention(
         and causal
         and _use_pallas(cfg)
         and cfg.use_pallas_streaming
+        # ragged int8 takes the einsum fallback (no stream-major int8
+        # kernel — see _ragged_attend_stream_major)
+        and not (_ragged and "k_scale" in cache_kv)
     ):
         # serves BOTH cache modes: the kernels' plane write lands at slot
         # (len mod C) and the slot-exclusion mask turns the same program
@@ -724,6 +859,7 @@ def temporal_attention(
             qkv[..., d_ : 2 * d_].reshape(r, d_),
             qkv[..., 2 * d_ :].reshape(r, d_),
             cache, cache_len, cfg, h,
+            rows_per_stream=n if _ragged else None,
         )
         return dense(ctx.reshape(b, 1, n, d_), p["out"]), cache
 
@@ -761,6 +897,11 @@ def temporal_attention(
                 q, k, v, cache, cache_len, cfg, causal, attend_cap
             )
         return dense(ctx, p["out"]), cache
+    if _ragged:
+        raise NotImplementedError(
+            "ragged (per-stream) lengths are a pos_major-layout feature; "
+            "the row-major compatibility layout is lockstep-only"
+        )
     quantized = "k_scale" in cache
     cap = cache["k"].shape[2]
     dh = cfg.head_dim
@@ -1151,8 +1292,17 @@ def init_cache(
     num_patches: Optional[int] = None,
     capacity: Optional[int] = None,
     dtype=None,
+    per_stream_len: bool = False,
 ) -> Params:
     """Preallocated temporal KV cache, one K/V pair per layer.
+
+    ``per_stream_len=True`` makes ``cache["len"]`` a (batch,) vector so
+    every stream in the batch advances independently (ragged streaming /
+    continuous batching): one compiled step serves streams at mixed
+    positions, and ``reset_streams`` re-admits a finished slot without
+    recompiling or disturbing its neighbours. The reference has no analog —
+    its HF DynamicCache advances all batch rows in lockstep
+    (timesformer_encoder.py:517-546).
 
     Layout per cfg.cache_layout: "pos_major" (default) stores (C, B, N, D)
     so appends are contiguous plane updates (int8 scales per-(pos,row) in a
@@ -1173,6 +1323,37 @@ def init_cache(
     # the fused kernel's plane write at slot (len mod C) plus the
     # slot-exclusion mask make the same kernel a sliding window
     pos_major = cfg.cache_layout == "pos_major"
+
+    if per_stream_len:
+        if not pos_major:
+            raise NotImplementedError(
+                "per-stream lengths are a pos_major-layout feature"
+            )
+        # Same flat pos-major (C, R, D) layout as lockstep (XLA keeps this
+        # shape in the standard layout — see fused_temporal_decode_pm_ragged
+        # notes), but rows are padded PER STREAM to an 8-sublane multiple
+        # so ragged kernel row blocks never span two streams.
+        from streamformer_tpu.ops.attention import ragged_row_pad
+
+        n_pad = ragged_row_pad(n)
+        shape = (cap, batch * n_pad, cfg.hidden_size)
+
+        def layer():
+            if str(cache_dt) == "int8":
+                return {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    # per-(pos, row) scales, row-major (R', C) as lockstep
+                    "k_scale": jnp.zeros((shape[1], cap), jnp.float32),
+                    "v_scale": jnp.zeros((shape[1], cap), jnp.float32),
+                }
+            return {"k": jnp.zeros(shape, jnp.dtype(cache_dt)),
+                    "v": jnp.zeros(shape, jnp.dtype(cache_dt))}
+
+        return {
+            "layers": [layer() for _ in range(cfg.num_hidden_layers)],
+            "len": jnp.zeros((batch,), jnp.int32),
+        }
 
     if pos_major:
         # position-major (C, B·N, D), flat 3-D ON PURPOSE: XLA gives the
@@ -1228,6 +1409,19 @@ def init_cache(
     }
 
 
+def reset_streams(cache: Params, done: jnp.ndarray) -> Params:
+    """Re-admit finished stream slots in a per-stream-length cache.
+
+    done: (B,) bool — True resets that stream's length to 0. Stale K/V
+    content needs no clearing: every consumer masks positions >= len, so a
+    reset slot starts attending only to frames appended after the reset.
+    Jittable; use inside the serving loop to swap new streams into slots
+    without touching the other streams or recompiling."""
+    ln = cache["len"]
+    assert ln.ndim == 1, "reset_streams needs init_cache(per_stream_len=True)"
+    return {**cache, "len": jnp.where(done, 0, ln)}
+
+
 @_precise
 def streaming_forward(
     params: Params,
@@ -1244,6 +1438,13 @@ def streaming_forward(
     ``pooler_output`` (B, T, D). Contract: for cache_len = s, the outputs
     equal the last T frames of a full-clip forward over all s+T frames
     (reference test_kvcache.py:55-88).
+
+    Ragged / continuous batching: with ``init_cache(per_stream_len=True)``
+    the cache's ``len`` is (B,) and each batch row advances independently —
+    row b's outputs equal a lone stream at position len[b] (per-stream time
+    embeddings, masks, appends). ``reset_streams`` re-admits finished
+    slots. Pos-major layout only; t=1 causal decode runs the fused kernel
+    (per-row-block lengths), other shapes the einsum path.
 
     ``total_frames_hint`` (static) is the sequence length used for
     time-embedding interpolation; by default the cache capacity governs —

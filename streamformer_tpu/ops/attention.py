@@ -583,9 +583,16 @@ def _pm_decode_kernel(len_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     """bf16/fp32 pos-major decode with in-kernel append: grid (rows,
     position-blocks), online softmax in VMEM scratch seeded by the new
     frame; kv index_map clamps to the valid prefix so HBM reads scale with
-    cache_len; the new K/V plane is written once per row block."""
+    cache_len; the new K/V plane is written once per row block.
+
+    len_ref is (1,) (one shared length — the lockstep path) or
+    (num_row_blocks,) (per-ROW-BLOCK lengths — the ragged/continuous-
+    batching path via fused_temporal_decode_pm_ragged, which pads each
+    stream's rows to an 8-multiple so row blocks never span streams)."""
     j = pl.program_id(1)
-    cache_len = len_ref[0]  # position the NEW frame takes
+    # position the NEW frame takes (per row block when ragged)
+    cache_len = (len_ref[0] if len_ref.shape[0] == 1
+                 else len_ref[pl.program_id(0)])
     rb, d = q_ref.shape
     cb = cache_block
     h = num_heads
@@ -663,7 +670,9 @@ def fused_temporal_decode_pm(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pos-major bf16/fp32 append-and-attend decode. Returns (out (R, D),
     k_cache, v_cache) with the caches threaded through the custom call
-    (input_output_aliases) and the new plane written in-kernel."""
+    (input_output_aliases) and the new plane written in-kernel.
+
+    Per-stream (ragged) lengths: see fused_temporal_decode_pm_ragged."""
     c, r, d = k_cache.shape
     cb = min(cache_block, c)
     while c % cb:
@@ -676,6 +685,7 @@ def fused_temporal_decode_pm(
         while c % cb:
             cb -= 1
     out_dtype = out_dtype or q.dtype
+    lens = jnp.asarray([cache_len], jnp.int32).reshape(1)
     q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec(
@@ -711,8 +721,93 @@ def fused_temporal_decode_pm(
         # (len, q, k_new, v_new, k_cache, v_cache)
         input_output_aliases={4: 1, 5: 2},
         interpret=interpret,
-    )(jnp.asarray([cache_len], jnp.int32).reshape(1), q, k_new, v_new,
-      k_cache, v_cache)
+    )(lens, q, k_new, v_new, k_cache, v_cache)
+    return out, k_out, v_out
+
+
+def ragged_row_pad(n: int) -> int:
+    """Per-stream rows padded to the 8-sublane tile (ragged caches)."""
+    return -(-n // 8) * 8
+
+
+def _ragged_row_block(n_pad: int, preferred: int = 56) -> int:
+    """Largest 8-multiple divisor of n_pad <= preferred: ragged row blocks
+    must stay within one stream (shared length) AND satisfy Mosaic's
+    8-sublane block granularity — which is why the rows are padded."""
+    rb = min(preferred, n_pad) // 8 * 8
+    while n_pad % rb:
+        rb -= 8
+    return rb
+
+
+def fused_temporal_decode_pm_ragged(
+    q: jnp.ndarray,  # (R', D) — R' = B * n_pad, per-stream rows padded
+    k_new: jnp.ndarray,  # (R', D)
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (C, R', D) pos-major, same flat layout as lockstep
+    v_cache: jnp.ndarray,
+    lens: jnp.ndarray,  # (B,) int32 — per-stream position of the new frame
+    n_pad: int,  # rows per stream (8-multiple; ragged_row_pad(N))
+    *,
+    num_heads: int,
+    out_dtype=None,
+    row_block: int = 56,
+    cache_block: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ragged (per-stream length) append-and-attend decode — continuous
+    batching: every stream in the batch sits at its own position
+    (init_cache(per_stream_len=True)). Same kernel body and flat (C, R, D)
+    cache layout as the lockstep decode (XLA keeps that shape in the
+    standard layout — a stream-major (B·C, N, D) variant measured 2x step
+    time from {2,0,1} relayout copies around the custom call, N=196 being
+    sublane-unaligned); the only deltas are per-ROW-BLOCK lengths in the
+    scalar-prefetch array and per-stream clamp/slot index maps. Rows are
+    padded per stream to n_pad (8-multiple) so a row block never spans two
+    streams; padded rows compute garbage that is sliced off by the caller.
+    Returns (out (R', D), k_cache, v_cache), caches aliased in/out."""
+    c, r, d = k_cache.shape
+    b = r // n_pad
+    assert n_pad % 8 == 0 and b * n_pad == r
+    cb = min(cache_block, c)
+    while c % cb:
+        cb -= 1
+    row_block = _ragged_row_block(n_pad, row_block)
+    out_dtype = out_dtype or q.dtype
+    bps = n_pad // row_block  # row blocks per stream
+    lens = jnp.repeat(jnp.asarray(lens, jnp.int32), bps)  # (num_row_blocks,)
+    q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (cb, row_block, d),
+        # clamp to row block i's own stream's valid prefix: reads are
+        # O(len[stream(i)]) per stream
+        lambda i, j, l: (jnp.minimum(j, jnp.maximum(l[i] - 1, 0) // cb), i, 0),
+        memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, row_block, d),
+                              lambda i, j, l: (l[i] % c, i, 0),
+                              memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_pm_decode_kernel, num_heads=num_heads,
+                          cache_block=cb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(r // row_block, c // cb),
+            in_specs=[q_spec, q_spec, q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, plane_spec, plane_spec),
+            scratch_shapes=[
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, d), jnp.float32),
+            ]),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # operands: (lens, q, k_new, v_new, k_cache, v_cache)
+        input_output_aliases={4: 1, 5: 2},
+        interpret=interpret,
+    )(lens, q, k_new, v_new, k_cache, v_cache)
     return out, k_out, v_out
 
 
@@ -805,7 +900,8 @@ def fused_temporal_decode_pm_int8(
     """Pos-major int8 append-and-attend decode (fused dequant): HALF the
     attention HBM traffic of bf16 at any capacity. Returns (out, k_cache,
     v_cache); the caller dus's the small scale arrays. Row blocks must be
-    32-sublane (int8 tile granularity — init_cache pads rows)."""
+    32-sublane (int8 tile granularity — init_cache pads rows). Per-stream
+    (ragged) int8 caches take the einsum fallback path instead."""
     c, r, d = k_cache.shape
     row_block = _pick_row_block(r, row_block, multiple=32)
     assert row_block % 32 == 0, (
@@ -823,6 +919,7 @@ def fused_temporal_decode_pm_int8(
     while c % cb:
         cb -= 8
     out_dtype = out_dtype or q.dtype
+    lens = jnp.asarray([cache_len], jnp.int32).reshape(1)
     q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
                           memory_space=pltpu.VMEM)
     n_spec = pl.BlockSpec((row_block, 1), lambda i, j, l: (i, 0),
@@ -859,8 +956,7 @@ def fused_temporal_decode_pm_int8(
         # operands: (len, q, kn_q, vn_q, kn_s, vn_s, k, v, ks, vs)
         input_output_aliases={6: 1, 7: 2},
         interpret=interpret,
-    )(jnp.asarray([cache_len], jnp.int32).reshape(1), q, kn_q, vn_q,
-      kn_s, vn_s, k_cache, v_cache, k_scale, v_scale)
+    )(lens, q, kn_q, vn_q, kn_s, vn_s, k_cache, v_cache, k_scale, v_scale)
     return out, k_out, v_out
 
 

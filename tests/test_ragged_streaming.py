@@ -1,0 +1,206 @@
+"""Ragged (per-stream length) streaming — continuous batching.
+
+Contract: with ``init_cache(per_stream_len=True)`` every batch row advances
+independently; row b of a ragged step equals a lone B=1 stream at the same
+position fed the same frames (per-stream time embeddings, masks, appends).
+The reference has no analog — its HF DynamicCache advances all rows in
+lockstep (timesformer_encoder.py:517-546); this is a TPU-native serving
+feature: one compiled program serves a batch of streams at mixed positions
+and ``reset_streams`` re-admits finished slots without recompiling.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+
+
+def small_cfg(**kw):
+    base = dict(
+        image_size=32,
+        patch_size=16,
+        num_frames=8,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        dtype="float32",
+        use_pallas=False,
+        cache_capacity=8,
+    )
+    base.update(kw)
+    return StreamformerConfig(**base)
+
+
+def drive(params, cfg, frames, cache):
+    """One streaming step; returns (pooler (B, 1, D), cache)."""
+    out, cache = encoder.streaming_forward(params, frames, cache, cfg)
+    return out["pooler_output"], cache
+
+
+@pytest.mark.fast
+def test_ragged_rows_match_independent_streams():
+    """Streams joining at different times: every ragged row reproduces a
+    lone stream at its own position, bit-for-bit at fp32 einsum."""
+    cfg = small_cfg()
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    B, steps = 3, 7
+    join = [0, 2, 4]
+    frames = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (B, steps, 3, cfg.image_size, cfg.image_size)
+        ),
+        jnp.float32,
+    )
+
+    cache = encoder.init_cache(cfg, batch=B, per_stream_len=True)
+    assert cache["len"].shape == (B,)
+    ragged_out = []
+    for s in range(steps):
+        done = jnp.asarray([join[b] == s for b in range(B)])
+        cache = encoder.reset_streams(cache, done)
+        pooled, cache = drive(params, cfg, frames[:, s : s + 1], cache)
+        ragged_out.append(np.asarray(pooled[:, 0]))
+    assert cache["len"].tolist() == [steps - j for j in join]
+
+    for b in range(B):
+        solo = encoder.init_cache(cfg, batch=1)
+        for s in range(join[b], steps):
+            pooled, solo = drive(params, cfg, frames[b : b + 1, s : s + 1], solo)
+            np.testing.assert_allclose(
+                ragged_out[s][b],
+                np.asarray(pooled[0, 0]),
+                rtol=0,
+                atol=1e-5,
+                err_msg=f"stream {b} step {s}",
+            )
+
+
+@pytest.mark.fast
+def test_ragged_int8_kv_matches_independent():
+    """Ragged + int8 KV cache (einsum fallback path: one-hot plane/scale
+    writes) matches independent int8 streams."""
+    cfg = small_cfg(cache_dtype="int8")
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    B, steps = 2, 5
+    join = [0, 2]
+    frames = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (B, steps, 3, cfg.image_size, cfg.image_size)
+        ),
+        jnp.float32,
+    )
+    cache = encoder.init_cache(cfg, batch=B, per_stream_len=True)
+    ragged_out = []
+    for s in range(steps):
+        done = jnp.asarray([join[b] == s for b in range(B)])
+        cache = encoder.reset_streams(cache, done)
+        pooled, cache = drive(params, cfg, frames[:, s : s + 1], cache)
+        ragged_out.append(np.asarray(pooled[:, 0]))
+    for b in range(B):
+        solo = encoder.init_cache(cfg, batch=1)
+        for s in range(join[b], steps):
+            pooled, solo = drive(params, cfg, frames[b : b + 1, s : s + 1], solo)
+            np.testing.assert_allclose(
+                ragged_out[s][b], np.asarray(pooled[0, 0]), rtol=0, atol=1e-5,
+                err_msg=f"int8 stream {b} step {s}",
+            )
+
+
+@pytest.mark.fast
+def test_ragged_decode_kernel_interpret():
+    """The ragged decode kernel on the padded-flat (C, B·n_pad, D) cache
+    (per-ROW-BLOCK scalar-prefetch lens, per-stream clamp + plane slot)
+    matches a per-row softmax oracle, including the appended planes at
+    each stream's own slot."""
+    from streamformer_tpu.ops import attention as pops
+
+    rng = np.random.default_rng(3)
+    b, n_pad, cap, h, dh = 3, 8, 8, 2, 8
+    d = h * dh
+    r = b * n_pad
+    lens = jnp.asarray([0, 3, 6], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    k_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+    v_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+
+    out, k2, v2 = pops.fused_temporal_decode_pm_ragged(
+        q, kn, vn, k_cache, v_cache, lens, n_pad,
+        num_heads=h, interpret=True,
+    )
+
+    for bb in range(b):
+        L = int(lens[bb])
+        for p in range(n_pad):
+            row = bb * n_pad + p
+            ks = np.concatenate(
+                [np.asarray(k_cache[:L, row]), np.asarray(kn[row : row + 1])]
+            )  # (L+1, D)
+            vs = np.concatenate(
+                [np.asarray(v_cache[:L, row]), np.asarray(vn[row : row + 1])]
+            )
+            got = np.asarray(out[row])
+            for hh in range(h):
+                sl = slice(hh * dh, (hh + 1) * dh)
+                s = ks[:, sl] @ np.asarray(q[row, sl]) * dh**-0.5
+                p_ = np.exp(s - s.max())
+                p_ = p_ / p_.sum()
+                want = p_ @ vs[:, sl]
+                np.testing.assert_allclose(
+                    got[sl], want, rtol=0, atol=1e-5,
+                    err_msg=f"row {row} head {hh}",
+                )
+            # appended plane at the stream's own slot len[b] % cap
+            np.testing.assert_allclose(
+                np.asarray(k2[L % cap, row]), np.asarray(kn[row]), atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(v2[L % cap, row]), np.asarray(vn[row]), atol=0
+            )
+
+
+@pytest.mark.fast
+def test_ragged_guards():
+    """Ring einsum appends and the row-major layout reject vector lens."""
+    cfg = small_cfg(cache_mode="ring")
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    cache = encoder.init_cache(cfg, batch=2, per_stream_len=True)
+    frames = jnp.zeros((2, 1, 3, 32, 32), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        encoder.streaming_forward(params, frames, cache, cfg)
+
+    cfg_rm = small_cfg(cache_layout="row_major")
+    with pytest.raises(NotImplementedError):
+        encoder.init_cache(cfg_rm, batch=2, per_stream_len=True)
+
+    with pytest.raises(AssertionError):
+        encoder.reset_streams(
+            encoder.init_cache(cfg, batch=2), jnp.zeros(2, bool)
+        )
+
+
+@pytest.mark.fast
+def test_reset_stream_restarts_cleanly():
+    """After reset_streams, a slot behaves exactly like a fresh stream."""
+    cfg = small_cfg()
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 4, 3, 32, 32)),
+        jnp.float32,
+    )
+    cache = encoder.init_cache(cfg, batch=2, per_stream_len=True)
+    for s in range(2):  # both streams advance to len 2
+        _, cache = drive(params, cfg, frames[:, s : s + 1], cache)
+    cache = encoder.reset_streams(cache, jnp.asarray([False, True]))
+    assert cache["len"].tolist() == [2, 0]
+    pooled, cache = drive(params, cfg, frames[:, 2 : 3], cache)
+
+    fresh = encoder.init_cache(cfg, batch=1)
+    pooled_fresh, _ = drive(params, cfg, frames[1 : 2, 2 : 3], fresh)
+    np.testing.assert_allclose(
+        np.asarray(pooled[1, 0]), np.asarray(pooled_fresh[0, 0]), atol=1e-5
+    )
