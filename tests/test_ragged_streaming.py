@@ -164,6 +164,58 @@ def test_ragged_decode_kernel_interpret():
 
 
 @pytest.mark.fast
+def test_ragged_ring_wraparound_kernel():
+    """Per-stream lengths PAST capacity: the same kernel's slot-mod plane
+    write + slot-exclusion mask give each stream its own sliding window
+    (ring mode per stream). Oracle: window of the last cap-1 cached
+    positions (the slot the new frame overwrites is excluded) + the new
+    frame."""
+    from streamformer_tpu.ops import attention as pops
+
+    rng = np.random.default_rng(7)
+    b, n_pad, cap, h, dh = 2, 8, 8, 2, 8
+    d = h * dh
+    r = b * n_pad
+    lens = jnp.asarray([11, 21], jnp.int32)  # both past capacity
+    q = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    k_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+    v_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+
+    out, k2, v2 = pops.fused_temporal_decode_pm_ragged(
+        q, kn, vn, k_cache, v_cache, lens, n_pad,
+        num_heads=h, interpret=True,
+    )
+
+    for bb in range(b):
+        L = int(lens[bb])
+        slot_new = L % cap
+        valid = [s for s in range(cap) if s != slot_new]  # window slots
+        for p in range(n_pad):
+            row = bb * n_pad + p
+            ks = np.concatenate(
+                [np.asarray(k_cache[valid, row]), np.asarray(kn[row : row + 1])]
+            )
+            vs = np.concatenate(
+                [np.asarray(v_cache[valid, row]), np.asarray(vn[row : row + 1])]
+            )
+            got = np.asarray(out[row])
+            for hh in range(h):
+                sl = slice(hh * dh, (hh + 1) * dh)
+                s = ks[:, sl] @ np.asarray(q[row, sl]) * dh**-0.5
+                p_ = np.exp(s - s.max())
+                p_ = p_ / p_.sum()
+                np.testing.assert_allclose(
+                    got[sl], p_ @ vs[:, sl], rtol=0, atol=1e-5,
+                    err_msg=f"row {row} head {hh}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(k2[slot_new, row]), np.asarray(kn[row]), atol=0
+            )
+
+
+@pytest.mark.fast
 def test_ragged_guards():
     """Ring einsum appends and the row-major layout reject vector lens."""
     cfg = small_cfg(cache_mode="ring")
