@@ -157,9 +157,11 @@ def drop_path(x, rate, rng, deterministic):
     """Stochastic depth on the leading (batch) axis.
 
     Reference: modeling_timesformer_siglip.py:461-484 (per-sample Bernoulli,
-    scaled by keep prob).
+    scaled by keep prob). ``rate`` may be a traced scalar (the pipeline
+    trunk scans layers with a stacked per-layer rate array); the ``== 0.0``
+    shortcut only applies to concrete Python floats.
     """
-    if deterministic or rate == 0.0:
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
@@ -1130,7 +1132,9 @@ def layer_forward(
     x = _maybe_shard_patches(x, cfg)
 
     def dp(y, key):
-        if rng is None or deterministic or drop_path_rate == 0.0:
+        if rng is None or deterministic:
+            return y
+        if isinstance(drop_path_rate, float) and drop_path_rate == 0.0:
             return y
         return drop_path(y, drop_path_rate, jax.random.fold_in(rng, key), False)
 
