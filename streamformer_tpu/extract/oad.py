@@ -20,8 +20,9 @@ Two modes:
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
-from typing import Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -80,6 +81,179 @@ def extract_features_streaming(
         feats.append(np.asarray(out["pooler_output"][0], np.float32))
     out = np.concatenate(feats, axis=0)
     return out[:l]
+
+
+def _make_batched_step(cfg: StreamformerConfig):
+    """One compiled tick: re-admit freed slots, then advance every stream
+    one frame. Params are an argument (not a closure) so they are not baked
+    into the compile payload; the cache is donated (no per-tick copy)."""
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(params, frame, cache, admit):
+        cache = encoder.reset_streams(cache, admit)
+        return encoder.streaming_forward(params, frame, cache, cfg=cfg)
+
+    return step
+
+
+def extract_features_batched(
+    params,
+    cfg: StreamformerConfig,
+    clips: Sequence[jnp.ndarray],  # each (L_i, C, H, W), preprocessed
+    slots: int = 8,
+    capacity: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Continuous-batching extraction: many videos through one ragged cache.
+
+    ``extract_features_streaming`` runs one video at a time — batch 1
+    leaves the chip mostly idle (the MXU wants B·N-row matmuls). Here
+    ``slots`` videos stream together through a per-stream-length cache
+    (``init_cache(per_stream_len=True)``): every tick advances each
+    occupied slot by one frame (the production fused t=1 decode), and a
+    finished slot is re-admitted with the next queued video via
+    ``reset_streams`` — no recompiles, no lockstep padding, utilization
+    ~slots× the lone-stream path. The reference shards its video list
+    across 8 GPUs instead (extract_oad_feature.py; one video per process).
+
+    Admission order is greedy FIFO; because every video's length is known
+    up front the whole schedule is precomputed on the host and the loop
+    never reads device outputs — dispatch stays async, pooled features are
+    fetched in bulk afterwards.
+
+    Context semantics match ``extract_features_streaming``: each frame
+    attends the last ``capacity`` frames. The sliding window needs the
+    fused ring decode (TPU); off-TPU the einsum fallback serves a linear
+    ragged cache, so ``capacity`` must cover the longest clip there.
+
+    Returns per-clip (L_i, D) float32 feature arrays, input order.
+    """
+    capacity = capacity or cfg.cache_capacity
+    on_kernel_path = (
+        encoder._use_pallas(cfg) and cfg.use_pallas_streaming
+        and cfg.cache_layout == "pos_major" and cfg.cache_dtype != "int8"
+    )
+    mode = "ring" if on_kernel_path else "linear"
+    lens = [int(c.shape[0]) for c in clips]
+    if mode == "linear" and lens and max(lens) > capacity:
+        raise ValueError(
+            f"longest clip ({max(lens)} frames) exceeds cache capacity "
+            f"{capacity}: the ragged sliding-window (ring) path needs the "
+            "fused TPU decode; off-TPU raise `capacity` to cover the clip"
+        )
+    cfg = cfg.replace(cache_mode=mode, cache_capacity=capacity)
+
+    # --- host-side schedule: (admit mask, [(slot, video, frame)]) per tick
+    slot_vid = [-1] * slots
+    slot_f = [0] * slots
+    pending = list(range(len(clips)))[::-1]  # pop() = FIFO admission
+    ticks = []
+    while pending or any(v >= 0 for v in slot_vid):
+        admit = np.zeros(slots, bool)
+        for s in range(slots):
+            if slot_vid[s] < 0 and pending:
+                slot_vid[s] = pending.pop()
+                slot_f[s] = 0
+                admit[s] = True
+        feeds = []
+        for s in range(slots):
+            if slot_vid[s] >= 0:
+                feeds.append((s, slot_vid[s], slot_f[s]))
+        ticks.append((admit, feeds))
+        for s, v, f in feeds:
+            slot_f[s] += 1
+            if slot_f[s] == lens[v]:
+                slot_vid[s] = -1
+
+    # --- device loop: async dispatch, bulk feature fetch
+    dt = jnp.dtype(cfg.dtype)
+    c, hh, ww = clips[0].shape[1:] if clips else (3, cfg.image_size,
+                                                  cfg.image_size)
+    step = _make_batched_step(cfg)
+    cache = encoder.init_cache(cfg, batch=slots, capacity=capacity,
+                               per_stream_len=True)
+    pooled_chunks, window = [], []
+    for admit, feeds in ticks:
+        frame = np.zeros((slots, 1, c, hh, ww), dt)
+        for s, v, f in feeds:
+            frame[s, 0] = clips[v][f]
+        out, cache = step(params, jnp.asarray(frame), cache,
+                          jnp.asarray(admit))
+        window.append(out["pooler_output"])  # (slots, 1, D) on device
+        if len(window) >= 1024:  # bound device-resident output memory
+            pooled_chunks.append(
+                np.asarray(jnp.concatenate(window, 1), np.float32)
+            )
+            window = []
+    if window:
+        pooled_chunks.append(
+            np.asarray(jnp.concatenate(window, 1), np.float32)
+        )
+    pooled = (np.concatenate(pooled_chunks, 1) if pooled_chunks
+              else np.zeros((slots, 0, cfg.hidden_size), np.float32))
+
+    # --- demux per-tick slot outputs back to per-video features
+    feats = [np.zeros((l, cfg.hidden_size), np.float32) for l in lens]
+    for ti, (_, feeds) in enumerate(ticks):
+        for s, v, f in feeds:
+            feats[v][f] = pooled[s, ti]
+    return feats
+
+
+def extract_videos_batched(
+    params,
+    cfg: StreamformerConfig,
+    video_paths: Sequence[str],
+    out_dir: Optional[str] = None,
+    slots: int = 8,
+    group: Optional[int] = None,
+    target_fps: float = 24.0,
+    **kw,
+) -> List[np.ndarray]:
+    """Decode + batched-extract a video list; optionally save .npy each.
+
+    Videos are processed in groups of ``group`` (default ``4 * slots``) so
+    host memory holds one group of decoded clips at a time; the next
+    group decodes on a host thread while the TPU serves the current one
+    (host-only thread — all device work stays on the caller's thread).
+    """
+    group = group or 4 * slots
+    dt = jnp.dtype(cfg.dtype)
+
+    def load_group(paths):
+        clips = []
+        for p in paths:
+            frames, fps = video_io.read_video_full(p)
+            idx = video_io.resample_to_fps(len(frames), fps, target_fps)
+            px = preprocess_frames(frames[idx], cfg.image_size)
+            clips.append(np.asarray(px, dt))
+        return clips
+
+    groups = [list(video_paths[i : i + group])
+              for i in range(0, len(video_paths), group)]
+    feats_all: List[np.ndarray] = []
+    nxt = {"clips": load_group(groups[0])} if groups else {}
+    for gi, paths in enumerate(groups):
+        clips = nxt["clips"]
+        th = None
+        if gi + 1 < len(groups):
+            nxt = {}
+            th = threading.Thread(
+                target=lambda: nxt.__setitem__(
+                    "clips", load_group(groups[gi + 1])
+                )
+            )
+            th.start()
+        feats = extract_features_batched(params, cfg, clips, slots=slots,
+                                         **kw)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            for p, f in zip(paths, feats):
+                name = os.path.splitext(os.path.basename(p))[0]
+                np.save(os.path.join(out_dir, name + ".npy"), f)
+        feats_all.extend(feats)
+        if th is not None:
+            th.join()
+    return feats_all
 
 
 def extract_features_windowed(

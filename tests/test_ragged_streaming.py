@@ -256,3 +256,51 @@ def test_reset_stream_restarts_cleanly():
     np.testing.assert_allclose(
         np.asarray(pooled[1, 0]), np.asarray(pooled_fresh[0, 0]), atol=1e-5
     )
+
+
+def test_batched_extraction_matches_lone_streams():
+    """extract_features_batched (continuous batching over a ragged cache)
+    must return, per video, exactly what a lone B=1 stream produces —
+    including videos admitted mid-run into recycled slots."""
+    from streamformer_tpu.extract import oad
+
+    cfg = small_cfg(cache_capacity=16)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    lens = [3, 7, 2, 6, 4]  # 5 videos over 2 slots -> mid-run admissions
+    clips = [
+        jnp.asarray(
+            rng.standard_normal((l, 3, 32, 32)), jnp.float32
+        )
+        for l in lens
+    ]
+
+    feats = oad.extract_features_batched(params, cfg, clips, slots=2)
+
+    assert [f.shape for f in feats] == [(l, cfg.hidden_size) for l in lens]
+    from functools import partial
+
+    step = jax.jit(partial(encoder.streaming_forward, cfg=cfg),
+                   donate_argnums=(2,))
+    worst = 0.0
+    for clip, got in zip(clips, feats):
+        solo = encoder.init_cache(cfg, batch=1, capacity=16)
+        for t in range(clip.shape[0]):
+            o, solo = step(params, clip[None, t : t + 1], solo)
+            dev = float(
+                np.abs(got[t] - np.asarray(o["pooler_output"][0, 0])).max()
+            )
+            worst = max(worst, dev)
+    assert worst < 1e-4, worst
+
+
+def test_batched_extraction_overflow_guard():
+    """Off the fused ring path the ragged cache is linear: a clip longer
+    than capacity must be rejected with the actionable message."""
+    from streamformer_tpu.extract import oad
+
+    cfg = small_cfg(cache_capacity=4)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    clip = jnp.zeros((9, 3, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="exceeds cache capacity"):
+        oad.extract_features_batched(params, cfg, [clip], slots=1)
