@@ -440,34 +440,64 @@ def _pm_kernel_dispatch(q_rows, kn, vn, cache, cache_len, cfg, h,
     time; see ops/attention.py pm notes). Returns (ctx (R, D), cache).
 
     cache_len may be () (lockstep, (C, R, D) cache) or (B,) (ragged /
-    continuous batching, STREAM-MAJOR (B·C, N, D) cache — see init_cache);
-    ragged needs rows_per_stream (= N). Ragged int8 is served by the
-    einsum fallback, never dispatched here."""
+    continuous batching — same flat pos-major (C, R', D) layout with rows
+    padded per stream, see init_cache(per_stream_len=True)); ragged needs
+    rows_per_stream (= N). Both bf16/fp and int8 ragged caches run fused
+    kernels; only multi-frame/non-causal shapes take the einsum paths."""
     from streamformer_tpu.ops import attention as pops
 
     r, d = q_rows.shape
     ragged = jnp.asarray(cache_len).ndim == 1
     quantized = "k_scale" in cache
     if ragged:
-        assert not quantized, "ragged int8 takes the einsum fallback"
         n = rows_per_stream
         b = r // n
-        n_pad = pops.ragged_row_pad(n)
+        n_pad = pops.ragged_row_pad(n, 32 if quantized else 8)
 
-        def pad_rows(a):
+        def pad_rows(a, width=None):
             if n_pad == n:
                 return a
-            a = a.reshape(b, n, d)
-            a = jnp.pad(a, [(0, 0), (0, n_pad - n), (0, 0)])
-            return a.reshape(b * n_pad, d)
+            a = a.reshape((b, n) + a.shape[1:])
+            pads = [(0, 0), (0, n_pad - n)] + [(0, 0)] * (a.ndim - 2)
+            a = jnp.pad(a, pads)
+            return a.reshape((b * n_pad,) + a.shape[2:])
 
-        ctx, k_out, v_out = pops.fused_temporal_decode_pm_ragged(
-            pad_rows(q_rows),
-            pad_rows(kn.astype(cache["k"].dtype)),
-            pad_rows(vn.astype(cache["v"].dtype)),
-            cache["k"], cache["v"], cache_len, n_pad,
-            num_heads=h, out_dtype=q_rows.dtype,
-        )
+        if quantized:
+            knq, kns = quantize_kv(kn)  # per-row over D
+            vnq, vns = quantize_kv(vn)
+            ctx, k_out, v_out = pops.fused_temporal_decode_pm_int8_ragged(
+                pad_rows(q_rows),
+                pad_rows(knq), pad_rows(vnq),
+                pad_rows(kns)[:, None], pad_rows(vns)[:, None],
+                cache["k"], cache["v"],
+                cache["k_scale"], cache["v_scale"],
+                cache_len, n_pad,
+                num_heads=h, out_dtype=q_rows.dtype,
+            )
+            cap = cache["k"].shape[0]
+            # each stream's scale column lands at its own slot — B small
+            # (n_pad, 1) dus's (the full-array one-hot select would read+
+            # write the whole (R', C) scale array per layer)
+            kns_p, vns_p = pad_rows(kns), pad_rows(vns)
+            for key, s in (("k", kns_p), ("v", vns_p)):
+                sc = cache[f"{key}_scale"]
+                for bi in range(b):
+                    sc = jax.lax.dynamic_update_slice(
+                        sc,
+                        jax.lax.dynamic_slice(
+                            s, (bi * n_pad,), (n_pad,)
+                        )[:, None],
+                        (bi * n_pad, cache_len[bi] % cap),
+                    )
+                cache[f"{key}_scale"] = sc
+        else:
+            ctx, k_out, v_out = pops.fused_temporal_decode_pm_ragged(
+                pad_rows(q_rows),
+                pad_rows(kn.astype(cache["k"].dtype)),
+                pad_rows(vn.astype(cache["v"].dtype)),
+                cache["k"], cache["v"], cache_len, n_pad,
+                num_heads=h, out_dtype=q_rows.dtype,
+            )
         cache["k"] = k_out
         cache["v"] = v_out
         if n_pad != n:
@@ -632,9 +662,6 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
 
     use_kernel = (
         _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
-        # ragged int8 takes the einsum fallback (no ragged int8 kernel —
-        # see _ragged_attend_einsum)
-        and not (ragged and quantized)
     )
     if use_kernel:
         q_rows = q[:, 0].reshape(r, d)  # (B, N, H, dh) is contiguous
@@ -708,10 +735,10 @@ def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
     """Einsum path for ragged (per-stream length) streaming on the
     padded-flat pos-major cache ((C, B·n_pad, D), row-major (R', C) int8
     scales — see init_cache(per_stream_len=True)). Serves fp32 parity,
-    multi-frame appends, non-causal, and int8 ragged (whose fused kernel
-    doesn't exist); the t=1 bf16/fp-cache decode takes
-    fused_temporal_decode_pm_ragged instead. Masks, appends and positions
-    are all per-stream."""
+    multi-frame appends and non-causal shapes; the t=1 causal decode takes
+    fused_temporal_decode_pm_ragged (bf16/fp) or
+    fused_temporal_decode_pm_int8_ragged instead. Masks, appends and
+    positions are all per-stream."""
     from streamformer_tpu.ops.attention import ragged_row_pad
 
     b, t, n, h, dh = q.shape
@@ -719,7 +746,7 @@ def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
     quantized = "k_scale" in cache
     cap = cache["k"].shape[0]
     n_pad = cache["k"].shape[1] // b
-    assert n_pad == ragged_row_pad(n)
+    assert n_pad == ragged_row_pad(n, 32 if quantized else 8)
     assert attend_cap is None, "attend_cap bucketing is lockstep-only"
 
     def pad_n(a):  # (B, T, N, ...) -> (B, T, n_pad, ...)
@@ -842,9 +869,6 @@ def temporal_attention(
         and causal
         and _use_pallas(cfg)
         and cfg.use_pallas_streaming
-        # ragged int8 takes the einsum fallback (no stream-major int8
-        # kernel — see _ragged_attend_stream_major)
-        and not (_ragged and "k_scale" in cache_kv)
     ):
         # serves BOTH cache modes: the kernels' plane write lands at slot
         # (len mod C) and the slot-exclusion mask turns the same program
@@ -1335,11 +1359,12 @@ def init_cache(
             )
         # Same flat pos-major (C, R, D) layout as lockstep (XLA keeps this
         # shape in the standard layout — see fused_temporal_decode_pm_ragged
-        # notes), but rows are padded PER STREAM to an 8-sublane multiple
-        # so ragged kernel row blocks never span two streams.
+        # notes), but rows are padded PER STREAM to a sublane multiple (8,
+        # or 32 for int8 — the int8 tile granularity) so ragged kernel row
+        # blocks never span two streams.
         from streamformer_tpu.ops.attention import ragged_row_pad
 
-        n_pad = ragged_row_pad(n)
+        n_pad = ragged_row_pad(n, 32 if str(cache_dt) == "int8" else 8)
         shape = (cap, batch * n_pad, cfg.hidden_size)
 
         def layer():

@@ -725,18 +725,21 @@ def fused_temporal_decode_pm(
     return out, k_out, v_out
 
 
-def ragged_row_pad(n: int) -> int:
-    """Per-stream rows padded to the 8-sublane tile (ragged caches)."""
-    return -(-n // 8) * 8
+def ragged_row_pad(n: int, multiple: int = 8) -> int:
+    """Per-stream rows padded to the sublane tile (ragged caches): 8 for
+    bf16/fp32, 32 for int8 (the int8 tile granularity — row blocks must be
+    32-sublane AND must not span two streams)."""
+    return -(-n // multiple) * multiple
 
 
-def _ragged_row_block(n_pad: int, preferred: int = 56) -> int:
-    """Largest 8-multiple divisor of n_pad <= preferred: ragged row blocks
-    must stay within one stream (shared length) AND satisfy Mosaic's
-    8-sublane block granularity — which is why the rows are padded."""
-    rb = min(preferred, n_pad) // 8 * 8
+def _ragged_row_block(n_pad: int, preferred: int = 56,
+                      multiple: int = 8) -> int:
+    """Largest ``multiple``-multiple divisor of n_pad <= preferred: ragged
+    row blocks must stay within one stream (shared length) AND satisfy
+    Mosaic's sublane block granularity — which is why the rows are padded."""
+    rb = max(min(preferred, n_pad) // multiple * multiple, multiple)
     while n_pad % rb:
-        rb -= 8
+        rb -= multiple
     return rb
 
 
@@ -823,9 +826,14 @@ def _pm8_decode_kernel(len_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
     slice (dynamic lane slicing is not lowerable). The new frame arrives
     pre-quantized; its plane is written aliased, its scale column is dus'd
     by the host (the (R, C) scale arrays are ~100 KB — the relayout copies
-    that killed the big-plane dus don't matter there)."""
+    that killed the big-plane dus don't matter there).
+
+    len_ref is (1,) (lockstep) or (num_row_blocks,) (per-ROW-BLOCK lengths
+    — the ragged path via fused_temporal_decode_pm_int8_ragged, whose
+    32-sublane per-stream row padding keeps blocks within one stream)."""
     j = pl.program_id(1)
-    cache_len = len_ref[0]
+    cache_len = (len_ref[0] if len_ref.shape[0] == 1
+                 else len_ref[pl.program_id(0)])
     rb, d = q_ref.shape
     cb = cache_block
     h = num_heads
@@ -954,6 +962,88 @@ def fused_temporal_decode_pm_int8(
             jax.ShapeDtypeStruct(v_cache.shape, jnp.int8),
         ),
         # operands: (len, q, kn_q, vn_q, kn_s, vn_s, k, v, ks, vs)
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(lens, q, kn_q, vn_q, kn_s, vn_s, k_cache, v_cache, k_scale, v_scale)
+    return out, k_out, v_out
+
+
+def fused_temporal_decode_pm_int8_ragged(
+    q: jnp.ndarray,  # (R', D) — R' = B * n_pad, per-stream 32-padded rows
+    kn_q: jnp.ndarray,  # (R', D) int8 — pre-quantized new-frame keys
+    vn_q: jnp.ndarray,
+    kn_s: jnp.ndarray,  # (R', 1) f32 new-frame scales
+    vn_s: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (C, R', D) int8 pos-major flat, as lockstep
+    v_cache: jnp.ndarray,
+    k_scale: jnp.ndarray,  # (R', C) f32 row-major
+    v_scale: jnp.ndarray,
+    lens: jnp.ndarray,  # (B,) int32 — per-stream position of the new frame
+    n_pad: int,  # rows per stream (32-multiple; ragged_row_pad(N, 32))
+    *,
+    num_heads: int,
+    out_dtype=None,
+    row_block: int = 32,
+    cache_block: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ragged (per-stream length) int8 append-and-attend decode —
+    continuous batching with a HALF-traffic KV cache. Same kernel body as
+    the lockstep int8 decode; the deltas are per-ROW-BLOCK lengths in the
+    scalar-prefetch array and per-stream clamp/slot index maps (the bf16
+    ragged recipe, fused_temporal_decode_pm_ragged). Rows are padded per
+    stream to a 32-multiple (the int8 sublane tile) so a row block never
+    spans two streams. The caller dus's each stream's scale column at its
+    own slot. Serves both cache modes: slot (len mod C) + exclusion mask =
+    sliding window when ring."""
+    c, r, d = k_cache.shape
+    b = r // n_pad
+    assert n_pad % 32 == 0 and b * n_pad == r, (n_pad, b, r)
+    assert c % 8 == 0, (
+        f"int8 cache capacity must be a multiple of 8, got {c}"
+    )
+    cb = max(min(cache_block, c) // 8 * 8, 8)
+    while c % cb:
+        cb -= 8
+    row_block = _ragged_row_block(n_pad, row_block, multiple=32)
+    out_dtype = out_dtype or q.dtype
+    bps = n_pad // row_block  # row blocks per stream
+    lens = jnp.repeat(jnp.asarray(lens, jnp.int32), bps)
+    q_spec = pl.BlockSpec((row_block, d), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((row_block, 1), lambda i, j, l: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (cb, row_block, d),
+        # clamp to row block i's own stream's valid prefix
+        lambda i, j, l: (jnp.minimum(j, jnp.maximum(l[i] - 1, 0) // cb), i, 0),
+        memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((row_block, c), lambda i, j, l: (i, 0),
+                           memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, row_block, d),
+                              lambda i, j, l: (l[i] % c, i, 0),
+                              memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_pm8_decode_kernel, num_heads=num_heads,
+                          cache_block=cb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(r // row_block, c // cb),
+            in_specs=[q_spec, q_spec, q_spec, n_spec, n_spec,
+                      kv_spec, kv_spec, sc_spec, sc_spec],
+            out_specs=(q_spec, plane_spec, plane_spec),
+            scratch_shapes=[
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, num_heads), jnp.float32),
+                pltpu.VMEM((row_block, d), jnp.float32),
+                pltpu.VMEM((c, row_block), jnp.float32),
+                pltpu.VMEM((c, row_block), jnp.float32),
+            ]),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_cache.shape, jnp.int8),
+        ),
+        # operands: (lens, q, kn_q, vn_q, kn_s, vn_s, k, v, ks, vs)
         input_output_aliases={6: 1, 7: 2},
         interpret=interpret,
     )(lens, q, kn_q, vn_q, kn_s, vn_s, k_cache, v_cache, k_scale, v_scale)

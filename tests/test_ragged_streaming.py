@@ -304,3 +304,110 @@ def test_batched_extraction_overflow_guard():
     clip = jnp.zeros((9, 3, 32, 32), jnp.float32)
     with pytest.raises(ValueError, match="exceeds cache capacity"):
         oad.extract_features_batched(params, cfg, [clip], slots=1)
+
+
+@pytest.mark.fast
+def test_ragged_int8_kernel_interpret():
+    """The ragged int8 decode kernel (per-ROW-BLOCK lens, fused dequant,
+    32-sublane per-stream row padding) matches a dequantized per-row
+    softmax oracle, including a stream past capacity (ring window) and
+    the appended int8 planes at each stream's own slot."""
+    from streamformer_tpu.ops import attention as pops
+
+    rng = np.random.default_rng(11)
+    b, n_pad, cap, h, dh = 2, 32, 8, 2, 8
+    d = h * dh
+    r = b * n_pad
+    lens = jnp.asarray([3, 11], jnp.int32)  # stream 1 past capacity
+    q = jnp.asarray(rng.standard_normal((r, d)), jnp.float32)
+    knq = jnp.asarray(rng.integers(-127, 128, (r, d)), jnp.int8)
+    vnq = jnp.asarray(rng.integers(-127, 128, (r, d)), jnp.int8)
+    kns = jnp.asarray(rng.uniform(0.01, 0.1, (r, 1)), jnp.float32)
+    vns = jnp.asarray(rng.uniform(0.01, 0.1, (r, 1)), jnp.float32)
+    k_cache = jnp.asarray(rng.integers(-127, 128, (cap, r, d)), jnp.int8)
+    v_cache = jnp.asarray(rng.integers(-127, 128, (cap, r, d)), jnp.int8)
+    k_scale = jnp.asarray(rng.uniform(0.01, 0.1, (r, cap)), jnp.float32)
+    v_scale = jnp.asarray(rng.uniform(0.01, 0.1, (r, cap)), jnp.float32)
+
+    out, k2, v2 = pops.fused_temporal_decode_pm_int8_ragged(
+        q, knq, vnq, kns, vns, k_cache, v_cache, k_scale, v_scale,
+        lens, n_pad, num_heads=h, interpret=True,
+    )
+
+    for bb in range(b):
+        L = int(lens[bb])
+        slot_new = L % cap
+        if L < cap:
+            valid = list(range(L))  # linear prefix
+        else:
+            valid = [s for s in range(cap) if s != slot_new]  # ring window
+        for p in range(0, n_pad, 7):  # sample rows
+            row = bb * n_pad + p
+            kd = (np.asarray(k_cache[valid, row], np.float32)
+                  * np.asarray(k_scale[row, valid])[:, None])
+            vd = (np.asarray(v_cache[valid, row], np.float32)
+                  * np.asarray(v_scale[row, valid])[:, None])
+            kn_f = np.asarray(knq[row], np.float32) * float(kns[row, 0])
+            vn_f = np.asarray(vnq[row], np.float32) * float(vns[row, 0])
+            ks = np.concatenate([kd, kn_f[None]])
+            vs = np.concatenate([vd, vn_f[None]])
+            got = np.asarray(out[row])
+            for hh in range(h):
+                sl = slice(hh * dh, (hh + 1) * dh)
+                s = ks[:, sl] @ np.asarray(q[row, sl]) * dh**-0.5
+                p_ = np.exp(s - s.max())
+                p_ = p_ / p_.sum()
+                np.testing.assert_allclose(
+                    got[sl], p_ @ vs[:, sl], rtol=0, atol=1e-4,
+                    err_msg=f"stream {bb} row {row} head {hh}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(k2[slot_new, row]), np.asarray(knq[row])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(v2[slot_new, row]), np.asarray(vnq[row])
+            )
+
+
+def test_ragged_int8_full_path_kernel_matches_einsum(monkeypatch):
+    """End-to-end ragged int8 through the FUSED kernel dispatch (interpret
+    mode, _use_pallas forced): the full streaming_forward — quantize, pad
+    to the 32-sublane stream stride, kernel, per-stream scale-column dus —
+    must match the einsum ragged int8 path."""
+    from jax.experimental import pallas as pl
+    from streamformer_tpu.ops import attention as A
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(A.pl, "pallas_call", patched)
+    monkeypatch.setattr(encoder, "_use_pallas", lambda cfg: cfg.use_pallas)
+
+    cfg = small_cfg(cache_dtype="int8", use_pallas=True,
+                    use_pallas_streaming=True)
+    cfg_ref = cfg.replace(use_pallas=False)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    B, steps = 2, 5
+    frames = jnp.asarray(
+        np.random.default_rng(13).standard_normal(
+            (B, steps, 3, cfg.image_size, cfg.image_size)
+        ),
+        jnp.float32,
+    )
+    cache_k = encoder.init_cache(cfg, batch=B, per_stream_len=True)
+    cache_e = encoder.init_cache(cfg_ref, batch=B, per_stream_len=True)
+    for s in range(steps):
+        if s == 2:  # re-admit stream 1 mid-run so the lens genuinely differ
+            done = jnp.asarray([False, True])
+            cache_k = encoder.reset_streams(cache_k, done)
+            cache_e = encoder.reset_streams(cache_e, done)
+        got, cache_k = drive(params, cfg, frames[:, s : s + 1], cache_k)
+        want, cache_e = drive(params, cfg_ref, frames[:, s : s + 1], cache_e)
+        assert int(cache_k["len"][0]) != int(cache_k["len"][1]) or s < 2
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-5,
+            err_msg=f"step {s}",
+        )
