@@ -130,7 +130,7 @@ def extract_features_batched(
     capacity = capacity or cfg.cache_capacity
     on_kernel_path = (
         encoder._use_pallas(cfg) and cfg.use_pallas_streaming
-        and cfg.cache_layout == "pos_major" and cfg.cache_dtype != "int8"
+        and cfg.cache_layout == "pos_major"
     )
     mode = "ring" if on_kernel_path else "linear"
     lens = [int(c.shape[0]) for c in clips]
