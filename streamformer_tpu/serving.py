@@ -1,0 +1,224 @@
+"""Continuous-batching streaming-encode serving engine.
+
+Productizes the ragged per-stream cache (``init_cache(per_stream_len=True)``,
+``reset_streams``) into a serving API: ``slots`` concurrent streams advance
+through ONE compiled step per tick, each at its own position; finished or
+closed streams free their slot for the next queued request without
+recompiling or disturbing neighbours. The reference has no serving stack at
+all — its KV-cache model (VideoQA's timesformer_encoder.py DynamicCache)
+only ever advances a whole batch in lockstep.
+
+Semantics:
+
+* ``open()`` admits a stream (immediately if a slot is free, else queued
+  FIFO); ``feed(sid, frames)`` enqueues host frames; ``poll(sid)`` drains
+  the pooled features produced so far; ``close(sid)`` marks end-of-stream —
+  the slot is recycled once its queue drains.
+* One ``tick()`` advances every occupied slot that has a frame queued by
+  exactly one frame (the production fused t=1 ragged decode, bf16/fp or
+  int8 KV).
+* Starved slots (open stream, empty queue) are HELD: they are fed a dummy
+  frame whose output is discarded and whose cache length is rolled back
+  inside the same compiled step, so the stream resumes exactly where it
+  paused. Holds are a LINEAR-cache feature: the dummy append lands at the
+  stream's own next position (masked from every consumer, overwritten by
+  the next real frame). The ring (sliding-window) cache cannot hold — its
+  wrap-around write would clobber the oldest in-window position — so in
+  ring mode a starved stream blocks the tick (feed-or-close contract,
+  asserted).
+
+The scheduling/host loop is deliberately synchronous-dispatch only — all
+device work stays on the caller's thread (two threads jit-dispatching
+deadlocks the axon tunnel), and nothing here reads device outputs until
+``poll``/``tick`` returns them, so dispatch pipelines ahead of the chip.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import StreamformerConfig
+from .models import encoder
+
+
+class StreamingEngine:
+    """Slot-based continuous-batching server for streaming encode.
+
+    ``collect='pooled'`` accumulates (t, D) pooled features per stream
+    (the OAD/feature-serving contract); ``collect=None`` discards outputs
+    (cache-building only, e.g. a VideoQA prefill fleet).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: StreamformerConfig,
+        slots: int = 8,
+        capacity: Optional[int] = None,
+        mode: str = "auto",
+        collect: Optional[str] = "pooled",
+    ):
+        capacity = capacity or cfg.cache_capacity
+        if mode == "auto":
+            kernel = (
+                encoder._use_pallas(cfg) and cfg.use_pallas_streaming
+                and cfg.cache_layout == "pos_major"
+            )
+            mode = "ring" if kernel else "linear"
+        assert mode in ("linear", "ring"), mode
+        self.cfg = cfg.replace(cache_mode=mode, cache_capacity=capacity)
+        self.params = params
+        self.slots = slots
+        self.mode = mode
+        self.collect = collect
+        self._dt = jnp.dtype(self.cfg.dtype)
+        self._cache = encoder.init_cache(
+            self.cfg, batch=slots, capacity=capacity, per_stream_len=True
+        )
+        self._step = self._make_step()
+        self._slot_sid: List[Optional[int]] = [None] * slots
+        self._queues: Dict[int, deque] = {}
+        self._closed: set = set()
+        self._results: Dict[int, list] = {}
+        self._served: Dict[int, int] = {}
+        self._pending: deque = deque()  # sids waiting for a slot
+        self._next_sid = 0
+        # device-side output stash: (tick outputs, per-slot sid) demuxed
+        # lazily at poll time so ticks never sync on the device
+        self._stash: List[Tuple[jnp.ndarray, List[Optional[int]]]] = []
+
+    # -- one compiled tick ------------------------------------------------
+    def _make_step(self):
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, frame, cache, admit, active):
+            cache = encoder.reset_streams(cache, admit)
+            out, cache = encoder.streaming_forward(params, frame, cache,
+                                                   cfg=cfg)
+            # roll held slots back: their dummy append stays masked (len
+            # unchanged => consumers never see position len) and the next
+            # real frame overwrites the same slot
+            cache = {**cache,
+                     "len": jnp.where(active, cache["len"],
+                                      cache["len"] - 1)}
+            return out["pooler_output"], cache
+
+        return step
+
+    # -- public API --------------------------------------------------------
+    def open(self) -> int:
+        """Admit a new stream; returns its id (slot granted now or FIFO)."""
+        sid = self._next_sid
+        self._next_sid += 1
+        self._queues[sid] = deque()
+        self._results[sid] = []
+        self._served[sid] = 0
+        self._pending.append(sid)
+        return sid
+
+    def feed(self, sid: int, frames) -> None:
+        """Enqueue (t, C, H, W) host frames for stream ``sid``."""
+        assert sid in self._queues and sid not in self._closed, sid
+        frames = np.asarray(frames, self._dt)
+        for f in frames:
+            self._queues[sid].append(f)
+
+    def close(self, sid: int) -> None:
+        """End-of-stream: remaining queued frames still get served."""
+        self._closed.add(sid)
+
+    def active_streams(self) -> int:
+        return len(self._pending) + sum(
+            s is not None for s in self._slot_sid
+        )
+
+    def tick(self) -> bool:
+        """Advance every feedable slot one frame; returns False when there
+        was nothing to do (no occupied slot fed, nothing admitted)."""
+        admit = np.zeros(self.slots, bool)
+        # retire drained closed streams, admit pending into free slots —
+        # only streams that can feed THIS tick take a slot (an idle admit
+        # would start ring streams with a hold, which ring cannot do)
+        for s in range(self.slots):
+            sid = self._slot_sid[s]
+            if (sid is not None and sid in self._closed
+                    and not self._queues[sid]):
+                self._slot_sid[s] = None
+            while self._slot_sid[s] is None and self._pending:
+                head = self._pending[0]
+                if head in self._closed and not self._queues[head]:
+                    self._pending.popleft()  # nothing to serve
+                    continue
+                if self._queues[head]:
+                    self._slot_sid[s] = self._pending.popleft()
+                    admit[s] = True
+                break
+
+        c, hh, ww = 3, self.cfg.image_size, self.cfg.image_size
+        frame = np.zeros((self.slots, 1, c, hh, ww), self._dt)
+        active = np.zeros(self.slots, bool)
+        fed_sids: List[Optional[int]] = [None] * self.slots
+        for s in range(self.slots):
+            sid = self._slot_sid[s]
+            if sid is None:
+                continue
+            if self._queues[sid]:
+                frame[s, 0] = self._queues[sid].popleft()
+                active[s] = True
+                fed_sids[s] = sid
+            else:
+                assert self.mode == "linear" or sid in self._closed, (
+                    f"stream {sid} starved a ring-mode slot: the sliding-"
+                    "window cache cannot hold (its wrap-around write would "
+                    "evict in-window history) — feed() it every tick or "
+                    "close() it"
+                )
+        if not active.any() and not admit.any():
+            return False
+
+        pooled, self._cache = self._step(
+            self.params, jnp.asarray(frame), self._cache,
+            jnp.asarray(admit), jnp.asarray(active),
+        )
+        if self.collect:
+            self._stash.append((pooled, fed_sids))
+        for sid in fed_sids:
+            if sid is not None:
+                self._served[sid] += 1
+        return True
+
+    def _drain_stash(self) -> None:
+        if not self._stash:
+            return
+        ticks, sid_maps = zip(*self._stash)
+        self._stash = []
+        # one bulk transfer for all stashed ticks
+        block = np.asarray(jnp.concatenate(ticks, axis=1), np.float32)
+        for ti, sids in enumerate(sid_maps):
+            for s, sid in enumerate(sids):
+                if sid is not None:
+                    self._results[sid].append(block[s, ti])
+
+    def poll(self, sid: int) -> Tuple[np.ndarray, bool]:
+        """(new (t, D) features since last poll, stream finished?)."""
+        self._drain_stash()
+        out = self._results[sid]
+        feats = (np.stack(out) if out
+                 else np.zeros((0, self.cfg.hidden_size), np.float32))
+        self._results[sid] = []
+        done = sid in self._closed and not self._queues[sid]
+        return feats, done
+
+    def run_until_idle(self, max_ticks: int = 1_000_000) -> int:
+        """Drive ticks until every stream drains; returns ticks run."""
+        n = 0
+        while n < max_ticks and self.tick():
+            n += 1
+        return n

@@ -1,0 +1,153 @@
+"""StreamingEngine: continuous-batching serving API.
+
+Contract: every stream served by the slot-based engine produces exactly
+the features of a lone B=1 stream — across FIFO admission into recycled
+slots, bursty feeds (holds: starved linear slots pause and resume
+losslessly), and incremental polls. The reference has no serving stack;
+this is the productized form of the ragged per-stream cache
+(examples/continuous_batching_demo.py -> streamformer_tpu/serving.py).
+"""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+from streamformer_tpu.serving import StreamingEngine
+
+CFG = StreamformerConfig(
+    image_size=32,
+    patch_size=16,
+    num_frames=8,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    dtype="float32",
+    use_pallas=False,
+    cache_capacity=16,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return encoder.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def lone_stream(params, clip):
+    """Oracle: one frame at a time through a lone B=1 cache."""
+    cfg = CFG.replace(cache_mode="linear")
+    step = partial(encoder.streaming_forward, cfg=cfg)
+    cache = encoder.init_cache(cfg, batch=1)
+    out = []
+    for t in range(clip.shape[0]):
+        o, cache = step(params, jnp.asarray(clip[None, t : t + 1]), cache)
+        out.append(np.asarray(o["pooler_output"][0, 0], np.float32))
+    return np.stack(out)
+
+
+def test_engine_matches_lone_streams(params):
+    """4 streams over 2 slots, mid-run admissions, bulk feeds."""
+    rng = np.random.default_rng(0)
+    lens = [3, 6, 2, 5]
+    clips = [rng.standard_normal((l, 3, 32, 32)).astype(np.float32)
+             for l in lens]
+
+    eng = StreamingEngine(params, CFG, slots=2)
+    sids = []
+    for clip in clips:
+        sid = eng.open()
+        eng.feed(sid, clip)
+        eng.close(sid)
+        sids.append(sid)
+    ticks = eng.run_until_idle()
+    assert ticks >= max(lens)
+
+    for sid, clip in zip(sids, clips):
+        feats, done = eng.poll(sid)
+        assert done
+        np.testing.assert_allclose(
+            feats, lone_stream(params, clip), rtol=0, atol=1e-5,
+            err_msg=f"stream {sid}",
+        )
+
+
+def test_engine_holds_pause_and_resume(params):
+    """A starved linear slot holds (dummy frame, rolled-back length) and
+    resumes exactly where it paused; a continuously-fed neighbour is
+    unaffected."""
+    rng = np.random.default_rng(1)
+    slow = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    fast = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+
+    eng = StreamingEngine(params, CFG, slots=2)
+    s_slow, s_fast = eng.open(), eng.open()
+    eng.feed(s_fast, fast)
+    eng.close(s_fast)
+    eng.feed(s_slow, slow[:2])  # first burst only
+    for _ in range(5):  # slow starves after 2 ticks -> holds
+        eng.tick()
+    eng.feed(s_slow, slow[2:])  # resume
+    eng.close(s_slow)
+    eng.run_until_idle()
+
+    feats_slow, done_slow = eng.poll(s_slow)
+    feats_fast, done_fast = eng.poll(s_fast)
+    assert done_slow and done_fast
+    np.testing.assert_allclose(
+        feats_slow, lone_stream(params, slow), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        feats_fast, lone_stream(params, fast), rtol=0, atol=1e-5
+    )
+
+
+def test_engine_incremental_poll(params):
+    """poll() drains only the features produced since the last poll."""
+    rng = np.random.default_rng(2)
+    clip = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    eng = StreamingEngine(params, CFG, slots=1)
+    sid = eng.open()
+    eng.feed(sid, clip)
+    eng.tick()
+    first, done = eng.poll(sid)
+    assert first.shape == (1, CFG.hidden_size) and not done
+    eng.close(sid)
+    eng.run_until_idle()
+    rest, done = eng.poll(sid)
+    assert done and rest.shape == (3, CFG.hidden_size)
+    np.testing.assert_allclose(
+        np.concatenate([first, rest]), lone_stream(params, clip),
+        rtol=0, atol=1e-5,
+    )
+    again, _ = eng.poll(sid)
+    assert again.shape == (0, CFG.hidden_size)
+
+
+def test_engine_ring_feed_or_close_contract(params, monkeypatch):
+    """Ring mode cannot hold a starved stream — the engine must say so
+    loudly instead of corrupting the sliding window. (Ragged ring runs
+    only on the fused decode; interpret mode stands in for the TPU.)"""
+    from jax.experimental import pallas as pl
+    from streamformer_tpu.ops import attention as A
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        A.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(encoder, "_use_pallas", lambda cfg: cfg.use_pallas)
+
+    rng = np.random.default_rng(3)
+    cfg = CFG.replace(use_pallas=True, cache_capacity=8)
+    eng = StreamingEngine(params, cfg, slots=1, mode="ring")
+    sid = eng.open()
+    eng.feed(sid, rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+    eng.tick()
+    with pytest.raises(AssertionError, match="starved a ring-mode slot"):
+        eng.tick()  # starved, not closed
