@@ -12,8 +12,11 @@ one jit'd call per tick, and their pooled features are checked against
 independently-encoded lone streams (the correctness contract).
 
 Run: python examples/continuous_batching_demo.py
+STREAMFORMER_DEMO_SMOKE=1 shrinks to a toy config so the demo finishes in
+seconds on a CPU (the default flagship 768x12 config wants a TPU).
 """
 
+import os
 import sys
 from functools import partial
 
@@ -27,8 +30,16 @@ from streamformer_tpu.models import encoder
 
 
 def main():
-    cfg = StreamformerConfig(dtype="float32", use_pallas=False,
-                             cache_capacity=16)
+    if os.environ.get("STREAMFORMER_DEMO_SMOKE") == "1":
+        cfg = StreamformerConfig(
+            image_size=48, num_frames=8, hidden_size=96,
+            num_hidden_layers=3, num_attention_heads=4,
+            intermediate_size=192, dtype="float32", use_pallas=False,
+            cache_capacity=16,
+        )
+    else:
+        cfg = StreamformerConfig(dtype="float32", use_pallas=False,
+                                 cache_capacity=16)
     params = encoder.init_params(jax.random.PRNGKey(0), cfg)
 
     SLOTS = 4

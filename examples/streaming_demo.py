@@ -7,8 +7,11 @@ Encodes a video three ways and checks the KV-cache contract:
 
 Run: python examples/streaming_demo.py [video.mp4]
 (without an argument, uses random frames)
+STREAMFORMER_DEMO_SMOKE=1 shrinks to a toy config so the demo finishes in
+seconds on a CPU (the default flagship 768x12 config wants a TPU).
 """
 
+import os
 import sys
 
 import numpy as np
@@ -23,8 +26,16 @@ from streamformer_tpu.extract.oad import preprocess_frames
 
 
 def main():
-    cfg = StreamformerConfig(dtype="float32", use_pallas=False,
-                             cache_capacity=32)
+    if os.environ.get("STREAMFORMER_DEMO_SMOKE") == "1":
+        cfg = StreamformerConfig(
+            image_size=48, num_frames=8, hidden_size=96,
+            num_hidden_layers=3, num_attention_heads=4,
+            intermediate_size=192, dtype="float32", use_pallas=False,
+            cache_capacity=32,
+        )
+    else:
+        cfg = StreamformerConfig(dtype="float32", use_pallas=False,
+                                 cache_capacity=32)
     params = encoder.init_params(jax.random.PRNGKey(0), cfg)
     for lp in params["layers"]:
         lp["temporal_attention_gating"] = jnp.asarray(0.5)

@@ -73,6 +73,11 @@ def get_args():
                    help="sequence-parallel: shard the patch axis over mp")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler TensorBoard trace of this "
+                        "many steady-state steps of the first epoch "
+                        "(reference: DeepSpeed flops_profiler, "
+                        "utils.py:1028-1034)")
     return p.parse_args()
 
 
@@ -241,6 +246,10 @@ def main():
         state, stats = trainer.train_one_epoch(
             state, iter(loader), epoch, sub, log_writer=log_writer,
             lr_schedule=lr_sched,
+            profile_steps=args.profile_steps if epoch == start_epoch else 0,
+            profile_dir=os.path.join(
+                args.log_dir or os.path.join(args.output_dir, "tb"), "profile"
+            ),
         )
         stats["epoch_time"] = time.time() - t0
         metrics_lib.write_log_line(

@@ -178,8 +178,15 @@ class MultitaskTrainer:
         log_writer: Optional[metrics_lib.TensorboardLogger] = None,
         print_freq: int = 10,
         lr_schedule=None,
+        profile_steps: int = 0,
+        profile_dir: Optional[str] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """batches yields (task_name, {"pixel_values": ..., "task_input": ...}).
+
+        ``profile_steps > 0`` captures a ``jax.profiler`` TensorBoard trace of
+        that many steady-state micro-steps into ``profile_dir`` (compile and
+        warm-up steps are skipped) — the rebuild's answer to the reference's
+        DeepSpeed flops_profiler block (utils.py:1028-1034).
 
         Losses stay on device between ``print_freq`` boundaries: a per-step
         host fetch (``float(loss)``) would serialize dispatch and kill
@@ -214,27 +221,47 @@ class MultitaskTrainer:
                         )
             pending.clear()
 
-        for task_name, batch in logger.log_every(
-            batches, print_freq, header=f"Epoch [{epoch}]"
-        ):
-            apply_update = (micro + 1) % self.update_freq == 0
-            rng, sub = jax.random.split(rng)
-            fn = self.step_fn(task_name, apply_update)
-            batch = self.shard_batch(batch)
-            state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
-            if apply_update:
-                host_step += 1
-            pending.append(
-                (
-                    task_name,
-                    out["loss"],
-                    out["grad_norm"] if apply_update else None,
-                    host_step,
+        # steady-state profiling window: [skip, skip + profile_steps)
+        profile_skip = 2 if profile_steps > 0 else -1
+        tracing = False
+
+        def stop_trace():
+            nonlocal tracing
+            if tracing:
+                flush()  # sync barrier: drain pending device work into the trace
+                jax.profiler.stop_trace()
+                tracing = False
+
+        try:
+            for task_name, batch in logger.log_every(
+                batches, print_freq, header=f"Epoch [{epoch}]"
+            ):
+                if micro == profile_skip:
+                    flush()  # don't attribute earlier dispatch to the trace
+                    jax.profiler.start_trace(profile_dir or "profile")
+                    tracing = True
+                apply_update = (micro + 1) % self.update_freq == 0
+                rng, sub = jax.random.split(rng)
+                fn = self.step_fn(task_name, apply_update)
+                batch = self.shard_batch(batch)
+                state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
+                if apply_update:
+                    host_step += 1
+                pending.append(
+                    (
+                        task_name,
+                        out["loss"],
+                        out["grad_norm"] if apply_update else None,
+                        host_step,
+                    )
                 )
-            )
-            micro += 1
-            if micro % print_freq == 0:
-                flush()
+                micro += 1
+                if tracing and micro >= profile_skip + profile_steps:
+                    stop_trace()
+                if micro % print_freq == 0:
+                    flush()
+        finally:
+            stop_trace()
         flush()
         stats = {k: m.global_avg for k, m in logger.meters.items()}
         return state, stats

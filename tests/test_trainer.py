@@ -1,5 +1,6 @@
 """Trainer stack: optimizer factory, multitask train steps, checkpointing."""
 
+import os
 import numpy as np
 import pytest
 
@@ -253,3 +254,40 @@ def test_mesh_trainer_matches_single_device(model, rng):
     flat_m = jax.tree.leaves(params_m)
     for a, b in zip(flat_1, flat_m):
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
+
+
+def test_profile_steps_capture_trace(model, rng, tmp_path):
+    """profile_steps captures a jax.profiler TensorBoard trace of the
+    steady-state window (the rebuild's flops_profiler analog, SURVEY 5.1)
+    without perturbing the training results."""
+    lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=6)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    trainer = MultitaskTrainer(model, tx, update_freq=1)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(6)]
+    prof_dir = str(tmp_path / "profile")
+    state, stats = trainer.train_one_epoch(
+        state, iter(batches), 0, jax.random.PRNGKey(0),
+        profile_steps=2, profile_dir=prof_dir,
+    )
+    assert int(state.step) == 6
+    # jax.profiler writes plugins/profile/<run>/ under the trace dir
+    hits = []
+    for base, _dirs, files in os.walk(prof_dir):
+        hits += [f for f in files if f.endswith((".trace.json.gz", ".xplane.pb"))]
+    assert hits, f"no trace artifacts under {prof_dir}"
+
+
+def test_profile_steps_epoch_shorter_than_window(model, rng, tmp_path):
+    """An epoch that ends inside the profiling window must still stop the
+    trace cleanly (the finally path) and train every batch."""
+    lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=3)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    trainer = MultitaskTrainer(model, tx, update_freq=1)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(3)]
+    state, _ = trainer.train_one_epoch(
+        state, iter(batches), 0, jax.random.PRNGKey(0),
+        profile_steps=50, profile_dir=str(tmp_path / "p2"),
+    )
+    assert int(state.step) == 3
