@@ -113,9 +113,16 @@ class MultitaskLoader:
         self.prefetch = prefetch
         self.aug_seed = aug_seed
         self._epoch = 0
+        self._start_step = 0
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_step: int = 0):
+        """``start_step`` skips that many leading sampler batches WITHOUT
+        fetching/decoding them — mid-epoch resume after preemption. Batch
+        ``step`` numbering stays absolute, so the per-step augmentation
+        stream (fold_in(aug_seed, step)) is identical to an uninterrupted
+        epoch."""
         self._epoch = epoch
+        self._start_step = start_step
         self.sampler.set_epoch(epoch)
 
     def __len__(self):
@@ -246,8 +253,12 @@ class MultitaskLoader:
         return task, {"pixel_values": pixel_values, "task_input": task_input}
 
     def __iter__(self):
+        start = getattr(self, "_start_step", 0)
+
         def host_gen():
             for step, indices in enumerate(self.sampler):
+                if step < start:  # resume skip: no fetch, no decode
+                    continue
                 samples = self._fetch(indices)
                 if not samples:
                     continue

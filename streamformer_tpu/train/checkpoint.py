@@ -30,7 +30,11 @@ def save_checkpoint(
     step: int = 0,
     keep_every: int = 10,
     keep_last: int = 2,
+    micro: int = 0,
 ):
+    """``micro > 0`` marks a MID-EPOCH (preemption) checkpoint: that many
+    micro-batches of ``epoch`` are already consumed, so resume should replay
+    the same epoch from that offset instead of starting epoch+1."""
     path = _ckpt_dir(output_dir, epoch)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
@@ -38,7 +42,11 @@ def save_checkpoint(
             {
                 "params": params,
                 "opt_state": opt_state if opt_state is not None else {},
-                "meta": {"epoch": np.asarray(epoch, np.int64), "step": np.asarray(step, np.int64)},
+                "meta": {
+                    "epoch": np.asarray(epoch, np.int64),
+                    "step": np.asarray(step, np.int64),
+                    "micro": np.asarray(micro, np.int64),
+                },
             },
             force=True,
         )
@@ -87,7 +95,19 @@ def auto_resume(
     e = latest_checkpoint(output_dir)
     if e is None:
         return None
-    out = restore_checkpoint(output_dir, e, like)
+    like = dict(like)
+    like["meta"] = {**like["meta"], "micro": np.asarray(0, np.int64)}
+    try:
+        out = restore_checkpoint(output_dir, e, like)
+    except Exception:
+        # checkpoint predates the mid-epoch 'micro' field: restore without
+        # it and treat the epoch as complete
+        like["meta"] = {
+            k: v for k, v in like["meta"].items() if k != "micro"
+        }
+        out = restore_checkpoint(output_dir, e, like)
+        out["meta"]["micro"] = 0
     out["meta"]["epoch"] = int(out["meta"]["epoch"])
     out["meta"]["step"] = int(out["meta"]["step"])
+    out["meta"]["micro"] = int(out["meta"]["micro"])
     return out

@@ -213,6 +213,7 @@ def main():
     state = TrainState.create(model.params, tx)
 
     start_epoch = 0
+    start_micro = 0
     if args.auto_resume:
         like = {
             "params": state.params,
@@ -228,8 +229,32 @@ def main():
                 accum_count=jnp.zeros((), jnp.int32),
                 step=jnp.asarray(restored["meta"]["step"], jnp.int32),
             )
-            start_epoch = restored["meta"]["epoch"] + 1
-            print(f"resumed from epoch {start_epoch - 1}")
+            start_micro = restored["meta"].get("micro", 0)
+            if start_micro > 0:
+                # mid-epoch (preemption) checkpoint: replay the same epoch
+                # from the saved batch offset
+                start_epoch = restored["meta"]["epoch"]
+                print(f"resumed mid-epoch {start_epoch} at micro-batch "
+                      f"{start_micro}")
+            else:
+                start_epoch = restored["meta"]["epoch"] + 1
+                print(f"resumed from epoch {start_epoch - 1}")
+
+    # preemption: on SIGTERM finish the in-flight optimizer update, save a
+    # mid-epoch checkpoint, and exit 0 so the scheduler restarts into the
+    # auto_resume path above (beyond the reference's epoch-only auto_resume)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+        print("SIGTERM: will checkpoint at the next update boundary")
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (embedded use): no handler, still trains
 
     log_writer = metrics_lib.TensorboardLogger(
         args.log_dir or os.path.join(args.output_dir, "tb")
@@ -240,8 +265,13 @@ def main():
             train_ds, sampler, model, crop_size=args.input_size,
             num_workers=args.num_workers, aug_seed=args.seed + epoch,
         )
-        loader.set_epoch(epoch)
-        rng, sub = jax.random.split(rng)
+        epoch_micro = start_micro if epoch == start_epoch else 0
+        loader.set_epoch(epoch, start_step=epoch_micro)
+        # fold_in(seed, epoch) rather than a running split: the epoch's rng
+        # stream is then a pure function of (seed, epoch), identical whether
+        # the process trained from epoch 0 or resumed here (mid-epoch resume
+        # replays the stream exactly)
+        sub = jax.random.fold_in(rng, epoch)
         t0 = time.time()
         state, stats = trainer.train_one_epoch(
             state, iter(loader), epoch, sub, log_writer=log_writer,
@@ -250,8 +280,20 @@ def main():
             profile_dir=os.path.join(
                 args.log_dir or os.path.join(args.output_dir, "tb"), "profile"
             ),
+            should_stop=lambda: stop_requested["flag"],
+            start_micro=epoch_micro,
         )
         stats["epoch_time"] = time.time() - t0
+        if "preempted_at_micro" in stats:
+            micro_done = int(stats["preempted_at_micro"])
+            ckpt_lib.save_checkpoint(
+                args.output_dir, epoch, state.params, state.opt_state,
+                step=int(state.step), keep_every=args.save_ckpt_freq,
+                micro=micro_done,
+            )
+            print(f"preempted: saved epoch {epoch} at micro-batch "
+                  f"{micro_done}; exiting for restart")
+            return
         metrics_lib.write_log_line(
             args.output_dir, {"epoch": epoch, **{k: float(v) for k, v in stats.items()}}
         )

@@ -180,6 +180,8 @@ class MultitaskTrainer:
         lr_schedule=None,
         profile_steps: int = 0,
         profile_dir: Optional[str] = None,
+        should_stop: Optional[Callable[[], bool]] = None,
+        start_micro: int = 0,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """batches yields (task_name, {"pixel_values": ..., "task_input": ...}).
 
@@ -187,6 +189,17 @@ class MultitaskTrainer:
         that many steady-state micro-steps into ``profile_dir`` (compile and
         warm-up steps are skipped) — the rebuild's answer to the reference's
         DeepSpeed flops_profiler block (utils.py:1028-1034).
+
+        Preemption (beyond the reference, which only resumes at epoch
+        boundaries, utils.py:670-879): ``should_stop`` is polled after every
+        optimizer update; when it returns True the loop flushes and returns
+        early with ``stats["preempted_at_micro"]`` = micro-steps consumed.
+        Stops land only on update boundaries, so the (unsaved) gradient-
+        accumulation buffer is always empty. ``start_micro`` resumes: the
+        caller re-feeds the SAME epoch's batch stream with the first
+        ``start_micro`` batches skipped (MultitaskLoader.set_epoch
+        start_step), and the per-step rng stream is fast-forwarded so the
+        resumed run is bit-identical to an uninterrupted one.
 
         Losses stay on device between ``print_freq`` boundaries: a per-step
         host fetch (``float(loss)``) would serialize dispatch and kill
@@ -196,7 +209,10 @@ class MultitaskTrainer:
         print_freq steps later).
         """
         logger = metrics_lib.MetricLogger()
-        micro = 0
+        micro = start_micro
+        for _ in range(start_micro):  # replay the per-step rng stream
+            rng, _ = jax.random.split(rng)
+        preempted = False
         # host-side mirror of state.step (the device scalar is donated away
         # every step, and fetching it would force a sync)
         host_step = int(state.step)
@@ -260,8 +276,13 @@ class MultitaskTrainer:
                     stop_trace()
                 if micro % print_freq == 0:
                     flush()
+                if apply_update and should_stop is not None and should_stop():
+                    preempted = True
+                    break
         finally:
             stop_trace()
         flush()
         stats = {k: m.global_avg for k, m in logger.meters.items()}
+        if preempted:
+            stats["preempted_at_micro"] = micro
         return state, stats

@@ -320,3 +320,75 @@ def test_dense_sampling_dataset(data_root):
     # short video: clamp into range
     idx = video_io.dense_sample_indices(5, 8, 4, mode="train")
     assert idx.max() <= 4 and len(idx) == 8
+
+
+def test_loader_start_step_skips_without_decoding(data_root):
+    """Mid-epoch resume: set_epoch(e, start_step=k) must skip the first k
+    sampler batches WITHOUT fetching them (no wasted decode) while keeping
+    absolute step numbering, so the fold_in(aug_seed, step) augmentation
+    stream matches an uninterrupted epoch."""
+    from streamformer_tpu.data.build import build_multi_task_dataset
+    from streamformer_tpu.data.samplers import DistributedBatchTaskUniqueSampler
+    from streamformer_tpu.data.collate import MultitaskLoader
+
+    metadata = {
+        "datasets": {
+            "Kinetics": {
+                "train": {
+                    # validation-mode frame sampling: decode-time frame
+                    # choice is deterministic, so full-vs-resumed batches
+                    # are comparable pixel-for-pixel (train-mode TSN picks
+                    # random in-segment frames per call, in the reference
+                    # too — that part is not resume-reproducible there
+                    # either); the device-side train augs ARE deterministic
+                    # per absolute step and are what this test pins
+                    "mode": "validation",
+                    "data_path": data_root["cls"],
+                    "split": " ",
+                    "num_frames": 4,
+                    "short_side_size": 48,
+                }
+            },
+        }
+    }
+    inner_ds, _, _ = build_multi_task_dataset(metadata)
+    fetched = []
+
+    class _Recording:
+        def __getitem__(self, i):
+            fetched.append(i)
+            return inner_ds[i]
+
+        def __getattr__(self, a):
+            return getattr(inner_ds, a)
+
+        def __len__(self):
+            return len(inner_ds)
+
+    train_ds = _Recording()
+
+    model = MultitaskModel(CFG, {"Kinetics": {"label2id": {"a": 0, "b": 1}}},
+                           text_cfg=TEXT_CFG)
+    model.tokenize = lambda texts, max_length=8: np.ones(
+        (len(texts), 8), np.int32
+    )
+    model.prepare_for_multi_tasks()
+    sampler = DistributedBatchTaskUniqueSampler(
+        train_ds.task_specs(), batch_size=2
+    )
+
+    def batches(start_step):
+        loader = MultitaskLoader(train_ds, sampler, model, crop_size=32,
+                                 num_workers=1, prefetch=0)
+        loader.set_epoch(0, start_step=start_step)
+        return [(t, np.asarray(b["pixel_values"])) for t, b in loader]
+
+    full = batches(0)
+    n_fetch_full = len(fetched)
+    fetched.clear()
+    tail = batches(1)
+    assert len(tail) == len(full) - 1
+    assert len(fetched) == n_fetch_full - 2  # skipped batch never decoded
+    for (t_f, px_f), (t_t, px_t) in zip(full[1:], tail):
+        assert t_f == t_t
+        np.testing.assert_array_equal(px_f, px_t)  # same augs: absolute step

@@ -291,3 +291,86 @@ def test_profile_steps_epoch_shorter_than_window(model, rng, tmp_path):
         profile_steps=50, profile_dir=str(tmp_path / "p2"),
     )
     assert int(state.step) == 3
+
+
+def test_preemption_stop_and_exact_resume(model, rng, tmp_path):
+    """SIGTERM-style early stop + mid-epoch resume reproduces an
+    uninterrupted epoch bit-for-bit: should_stop halts after an optimizer
+    update, and start_micro fast-forwards the rng stream while the caller
+    re-feeds the same epoch's remaining batches."""
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(6)]
+
+    def make():
+        lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=6)
+        tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+        trainer = MultitaskTrainer(model, tx, update_freq=1)
+        return trainer, TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+
+    # A: uninterrupted
+    trainer, state_a = make()
+    state_a, stats_a = trainer.train_one_epoch(
+        state_a, iter(batches), 0, jax.random.PRNGKey(7)
+    )
+    assert "preempted_at_micro" not in stats_a
+
+    # B: stop after the 3rd update, then resume from micro=3
+    trainer, state_b = make()
+    polls = []
+
+    def stop():
+        polls.append(1)
+        return len(polls) >= 3
+
+    state_b, stats_b = trainer.train_one_epoch(
+        state_b, iter(batches), 0, jax.random.PRNGKey(7), should_stop=stop
+    )
+    assert stats_b["preempted_at_micro"] == 3
+    assert int(state_b.step) == 3
+    state_b, _ = trainer.train_one_epoch(
+        state_b, iter(batches[3:]), 0, jax.random.PRNGKey(7), start_micro=3
+    )
+    assert int(state_b.step) == 6
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_a.params)),
+                    jax.tree.leaves(jax.device_get(state_b.params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_preemption_stops_only_on_update_boundary(model, rng):
+    """With grad accumulation the stop must land where the accumulation
+    buffer is empty — never mid-window — so nothing unsaved is lost."""
+    lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=4)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    trainer = MultitaskTrainer(model, tx, update_freq=2)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(8)]
+    state, stats = trainer.train_one_epoch(
+        state, iter(batches), 0, jax.random.PRNGKey(0),
+        should_stop=lambda: True,
+    )
+    # stopped at the FIRST update boundary: 2 micro-batches, 1 update
+    assert stats["preempted_at_micro"] == 2
+    assert int(state.step) == 1
+    assert int(state.accum_count) == 0
+
+
+def test_checkpoint_micro_roundtrip(model, tmp_path):
+    """Mid-epoch checkpoints carry the micro-batch offset through
+    save/auto_resume; epoch-complete saves report micro=0."""
+    from streamformer_tpu.train import checkpoint as ckpt_lib
+
+    lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=1, steps_per_epoch=2)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    out = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    ckpt_lib.save_checkpoint(out, 3, state.params, state.opt_state,
+                             step=17, micro=5)
+    like = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "meta": {"epoch": np.asarray(0, np.int64),
+                 "step": np.asarray(0, np.int64)},
+    }
+    restored = ckpt_lib.auto_resume(out, like)
+    assert restored["meta"] == {"epoch": 3, "step": 17, "micro": 5}
