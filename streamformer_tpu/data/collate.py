@@ -256,9 +256,18 @@ class MultitaskLoader:
         start = getattr(self, "_start_step", 0)
 
         def host_gen():
+            yielded = 0
             for step, indices in enumerate(self.sampler):
-                if step < start:  # resume skip: no fetch, no decode
+                # an all-PAD batch is dropped without reaching the trainer,
+                # so it must not count toward the resume offset either —
+                # skip by YIELDED batches (= the trainer's micro counter),
+                # decidable from the indices alone (no fetch, no decode)
+                if not any(i != PAD_INDEX for i in indices):
                     continue
+                if yielded < start:  # resume skip: no fetch, no decode
+                    yielded += 1
+                    continue
+                yielded += 1
                 samples = self._fetch(indices)
                 if not samples:
                     continue

@@ -409,9 +409,12 @@ class SimpleTracker:
     def reset(self):
         self.memory, self.ids, self._next = None, [], 0
 
-    def update(self, embeddings: np.ndarray) -> List[int]:
+    def update(self, embeddings: np.ndarray, scores=None,
+               frame_id: Optional[int] = None) -> List[int]:
         """embeddings: (N, D) for this frame's kept instances; returns
-        per-instance track ids."""
+        per-instance track ids. ``scores``/``frame_id`` are accepted (and
+        ignored — this tracker is purely similarity-driven) so track_video
+        can drive either tracker through one call signature."""
         emb = embeddings / np.maximum(
             np.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-6
         )
@@ -488,6 +491,11 @@ class _Tracklet:
             self.sim_guided_embed = self.embeds[-1].copy()
         else:
             m = self.momentum
+            # NOTE: the weighting is deliberately (1-m)*old + m*new with
+            # m=0.75 — the NEW embedding dominates. That is exactly the
+            # reference's update (memory_bank.py:40, momentum=0.75 with the
+            # comment that it measured best); the smoothed-history behavior
+            # lives in sim_guided_embed below, not here.
             self.momentum_embed = (1 - m) * self.momentum_embed + m * embed
             hist = np.stack(self.embeds[:-1])
             hn = hist / np.maximum(
@@ -502,6 +510,10 @@ class _Tracklet:
         if len(self.scores) > self.maximum_cache:
             self.scores.pop(0)
             self.embeds.pop(0)
+            # the reference leaks frame_ids here (memory_bank.py:56-58 pops
+            # only scores/embeds); cap it too — only frame_ids[-1]
+            # (last_frame) is ever read
+            self.frame_ids.pop(0)
 
     def fused_embed(self, embed_type: str) -> np.ndarray:
         if embed_type == "last":

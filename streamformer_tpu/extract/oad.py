@@ -233,15 +233,23 @@ def extract_videos_batched(
     feats_all: List[np.ndarray] = []
     nxt = {"clips": load_group(groups[0])} if groups else {}
     for gi, paths in enumerate(groups):
+        if "error" in nxt:  # prefetch thread failed: surface the real cause
+            raise RuntimeError(
+                f"decoding group {gi} (videos {nxt['paths']}) failed"
+            ) from nxt["error"]
         clips = nxt["clips"]
         th = None
         if gi + 1 < len(groups):
             nxt = {}
-            th = threading.Thread(
-                target=lambda: nxt.__setitem__(
-                    "clips", load_group(groups[gi + 1])
-                )
-            )
+
+            def _prefetch(paths_next=groups[gi + 1], out=nxt):
+                try:
+                    out["clips"] = load_group(paths_next)
+                except Exception as e:  # re-raised on the consumer thread
+                    out["error"] = e
+                    out["paths"] = paths_next
+
+            th = threading.Thread(target=_prefetch)
             th.start()
         feats = extract_features_batched(params, cfg, clips, slots=slots,
                                          **kw)

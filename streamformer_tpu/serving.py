@@ -85,13 +85,18 @@ class StreamingEngine:
         self._slot_sid: List[Optional[int]] = [None] * slots
         self._queues: Dict[int, deque] = {}
         self._closed: set = set()
+        self._finished: set = set()  # polled-to-completion stream ids
         self._results: Dict[int, list] = {}
         self._served: Dict[int, int] = {}
+        self._fed: Dict[int, int] = {}  # total frames fed per stream
         self._pending: deque = deque()  # sids waiting for a slot
         self._next_sid = 0
         # device-side output stash: (tick outputs, per-slot sid) demuxed
-        # lazily at poll time so ticks never sync on the device
+        # lazily at poll time so ticks never sync on the device; bounded —
+        # tick() force-drains past _stash_limit so a caller that never
+        # polls cannot grow device-resident state without bound
         self._stash: List[Tuple[jnp.ndarray, List[Optional[int]]]] = []
+        self._stash_limit = 256
 
     # -- one compiled tick ------------------------------------------------
     def _make_step(self):
@@ -120,13 +125,28 @@ class StreamingEngine:
         self._queues[sid] = deque()
         self._results[sid] = []
         self._served[sid] = 0
+        self._fed[sid] = 0
         self._pending.append(sid)
         return sid
 
     def feed(self, sid: int, frames) -> None:
-        """Enqueue (t, C, H, W) host frames for stream ``sid``."""
+        """Enqueue (t, C, H, W) host frames for stream ``sid``.
+
+        In linear cache mode a stream is bounded by the cache capacity —
+        feeding past it would silently attend a stale window (the append
+        one-hot has nowhere to land), so it raises instead (the same
+        contract extract_features_batched enforces). Ring mode streams are
+        unbounded (sliding window)."""
         assert sid in self._queues and sid not in self._closed, sid
         frames = np.asarray(frames, self._dt)
+        if (self.mode == "linear"
+                and self._fed[sid] + len(frames) > self.cfg.cache_capacity):
+            raise ValueError(
+                f"stream {sid}: {self._fed[sid] + len(frames)} frames exceed "
+                f"the linear cache capacity {self.cfg.cache_capacity}; use "
+                "mode='ring' (sliding window) for unbounded streams"
+            )
+        self._fed[sid] += len(frames)
         for f in frames:
             self._queues[sid].append(f)
 
@@ -148,8 +168,10 @@ class StreamingEngine:
         # would start ring streams with a hold, which ring cannot do)
         for s in range(self.slots):
             sid = self._slot_sid[s]
-            if (sid is not None and sid in self._closed
-                    and not self._queues[sid]):
+            if sid is not None and (
+                sid in self._finished
+                or (sid in self._closed and not self._queues[sid])
+            ):
                 self._slot_sid[s] = None
             while self._slot_sid[s] is None and self._pending:
                 head = self._pending[0]
@@ -189,6 +211,8 @@ class StreamingEngine:
         )
         if self.collect:
             self._stash.append((pooled, fed_sids))
+            if len(self._stash) >= self._stash_limit:
+                self._drain_stash()  # bound device-resident outputs
         for sid in fed_sids:
             if sid is not None:
                 self._served[sid] += 1
@@ -203,17 +227,28 @@ class StreamingEngine:
         block = np.asarray(jnp.concatenate(ticks, axis=1), np.float32)
         for ti, sids in enumerate(sid_maps):
             for s, sid in enumerate(sids):
-                if sid is not None:
+                if sid is not None and sid in self._results:
                     self._results[sid].append(block[s, ti])
 
     def poll(self, sid: int) -> Tuple[np.ndarray, bool]:
-        """(new (t, D) features since last poll, stream finished?)."""
+        """(new (t, D) features since last poll, stream finished?).
+
+        Per-stream bookkeeping is reclaimed on the poll that observes
+        completion — a long-lived engine serving many short streams stays
+        O(live streams), not O(streams ever opened)."""
+        empty = np.zeros((0, self.cfg.hidden_size), np.float32)
+        if sid in self._finished:
+            return empty, True
         self._drain_stash()
         out = self._results[sid]
-        feats = (np.stack(out) if out
-                 else np.zeros((0, self.cfg.hidden_size), np.float32))
+        feats = np.stack(out) if out else empty
         self._results[sid] = []
         done = sid in self._closed and not self._queues[sid]
+        if done:
+            self._finished.add(sid)
+            for d in (self._queues, self._results, self._served, self._fed):
+                d.pop(sid, None)
+            self._closed.discard(sid)
         return feats, done
 
     def run_until_idle(self, max_ticks: int = 1_000_000) -> int:

@@ -392,3 +392,34 @@ def test_loader_start_step_skips_without_decoding(data_root):
     for (t_f, px_f), (t_t, px_t) in zip(full[1:], tail):
         assert t_f == t_t
         np.testing.assert_array_equal(px_f, px_t)  # same augs: absolute step
+
+    # all-PAD sampler batches are dropped before the trainer ever sees
+    # them, so they must not consume the resume offset either: the trainer
+    # checkpoints its count of CONSUMED batches, and start_step=k must skip
+    # exactly the first k batches the trainer consumed last time
+    from streamformer_tpu.data.samplers import PAD_INDEX
+    from streamformer_tpu.data.collate import MultitaskLoader
+
+    class _PadInjecting:
+        """Yields one all-PAD batch, then the real sampler's batches."""
+
+        def __iter__(self):
+            yield [PAD_INDEX, PAD_INDEX]
+            yield from sampler
+
+        def __getattr__(self, a):
+            return getattr(sampler, a)
+
+    def batches_padded(start_step):
+        loader = MultitaskLoader(train_ds, _PadInjecting(), model,
+                                 crop_size=32, num_workers=1, prefetch=0)
+        loader.set_epoch(0, start_step=start_step)
+        return [(t, np.asarray(b["pixel_values"])) for t, b in loader]
+
+    full_p = batches_padded(0)
+    assert len(full_p) == len(full)  # pad batch dropped, none consumed
+    tail_p = batches_padded(1)  # must skip the first REAL batch
+    assert len(tail_p) == len(full_p) - 1
+    for (t_f, px_f), (t_t, px_t) in zip(full_p[1:], tail_p):
+        assert t_f == t_t
+        np.testing.assert_array_equal(px_f, px_t)

@@ -129,6 +129,39 @@ def test_engine_incremental_poll(params):
     assert again.shape == (0, CFG.hidden_size)
 
 
+def test_engine_linear_overflow_and_reclaim(params):
+    """feed() past the linear cache capacity raises (the append would have
+    nowhere to land and the window would silently go stale); poll() after
+    completion reclaims per-stream bookkeeping — a long-lived engine stays
+    O(live streams) — and keeps answering (empty, True); the freed slot is
+    recyclable for a later admission."""
+    rng = np.random.default_rng(4)
+    clip = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    eng = StreamingEngine(params, CFG, slots=1)
+    sid = eng.open()
+    eng.feed(sid, clip)
+    with pytest.raises(ValueError, match="exceed"):
+        eng.feed(sid, rng.standard_normal(
+            (CFG.cache_capacity, 3, 32, 32)).astype(np.float32))
+    eng.close(sid)
+    eng.run_until_idle()
+    feats, done = eng.poll(sid)
+    assert done and feats.shape == (2, CFG.hidden_size)
+    assert sid not in eng._results and sid not in eng._queues
+    again, done = eng.poll(sid)
+    assert done and again.shape == (0, CFG.hidden_size)
+
+    sid2 = eng.open()
+    eng.feed(sid2, clip)
+    eng.close(sid2)
+    eng.run_until_idle()
+    feats2, done2 = eng.poll(sid2)
+    assert done2
+    np.testing.assert_allclose(
+        feats2, lone_stream(params, clip), rtol=0, atol=1e-5
+    )
+
+
 def test_engine_ring_feed_or_close_contract(params, monkeypatch):
     """Ring mode cannot hold a starved stream — the engine must say so
     loudly instead of corrupting the sliding window. (Ragged ring runs
