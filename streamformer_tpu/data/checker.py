@@ -109,10 +109,12 @@ def check_data_list(
     kept = []
     sources = Counter()
     for i, row in enumerate(rows):
-        src = row.get("data_source") or row.get("id", "?")
+        src = row.get("data_source") or row.get("id", "unknown")
         if isinstance(src, str) and "/" in src:
+            # aggregate sub-splits ("k710/split1", "k710/split2") under the
+            # dataset prefix for the per-source stat table
             src = src.split("/")[0]
-        sources[row.get("data_source", "unknown")] += 1
+        sources[src] += 1
         missing = [p for p in _media_paths(row, image_root, video_root)
                    if not os.path.exists(p)]
         for p in missing:

@@ -168,9 +168,13 @@ def main():
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
-        for px, labels, _ in _loader(train_ds, args.batch_size, aug_t,
-                                     args.seed + epoch, True, args.num_workers):
-            rng_s = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        rng_epoch = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        for it, (px, labels, _) in enumerate(_loader(
+                train_ds, args.batch_size, aug_t, args.seed + epoch, True,
+                args.num_workers)):
+            # per-STEP key: fold the batch index in too, else every step of
+            # an epoch reuses one mixup lambda/permutation + dropout mask
+            rng_s = jax.random.fold_in(rng_epoch, it)
             if args.model_ema:
                 params, ema_params, opt_state, loss = step(
                     params, ema_params, opt_state, px, labels, rng_s

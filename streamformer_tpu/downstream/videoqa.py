@@ -22,6 +22,7 @@ repo — pair with any JAX LM implementation.)
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -465,7 +466,10 @@ def make_videoqa_dpo_step(tower_cfg, lm_cfg, stage: int = 3,
         }
         return loss, metrics
 
-    @jax.jit
+    # donate policy params + opt state (updated in place, like every other
+    # train step here); ref_params are NOT donated — the frozen reference
+    # policy is reused every step
+    @partial(jax.jit, donate_argnums=(0, 2))
     def step(params, ref_params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, ref_params, batch
