@@ -29,6 +29,7 @@ Baselines (BASELINE.md records the protocol):
 import json
 import os
 import sys
+import threading
 import time
 from functools import partial
 
@@ -50,6 +51,39 @@ from streamformer_tpu.models import encoder
 from streamformer_tpu.utils import profiling
 
 H100_REFERENCE_FPS_EST = 300.0
+
+# Watchdog: the one JSON line MUST emit even if the device (or its tunnel)
+# stalls mid-metric — a hung secondary measurement must not erase the
+# already-measured headline. main() fills _PARTIAL as metrics land; if the
+# deadline passes before the normal emit, the watchdog prints whatever has
+# been measured (with a "note") and hard-exits.
+_PARTIAL: dict = {}
+_EMITTED = threading.Event()
+_DEADLINE_S = float(os.environ.get("STREAMFORMER_BENCH_DEADLINE_S", "2400"))
+
+
+def _emit(result: dict) -> None:
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        print(json.dumps(result), flush=True)
+
+
+def _watchdog():
+    if _EMITTED.wait(timeout=_DEADLINE_S):
+        return
+    out = dict(_PARTIAL) if _PARTIAL else {
+        "metric": "frames/sec/chip streaming encode (224^2, KV-cache)",
+        "value": 0.0,
+        "unit": "frames/sec/chip",
+        "vs_baseline": 0.0,
+    }
+    out["note"] = (
+        f"watchdog: device stalled; partial results emitted at "
+        f"{_DEADLINE_S:.0f}s"
+    )
+    _emit(out)
+    sys.stdout.flush()
+    os._exit(3)
 # last measured same-host torch reference rate (see measure_torch_reference;
 # protocol in BASELINE.md) — used when STREAMFORMER_BENCH_SKIP_TORCH=1
 TORCH_REFERENCE_FPS_LAST_MEASURED = None
@@ -112,6 +146,7 @@ def measure_torch_reference(batch: int = 1, context: int = 16, steps: int = 5):
 
 def main():
     t_start = time.perf_counter()
+    threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         # the BASELINE.json metric is 16-frame-context streaming encode —
@@ -173,6 +208,18 @@ def main():
     tflops = flops / dt / 1e12
     mfu = tflops / 197.0 if on_tpu else float("nan")  # v5e bf16 peak
 
+    # headline measured: seed the watchdog's partial line so a later stall
+    # can no longer lose it
+    _PARTIAL.update({
+        "metric": "frames/sec/chip streaming encode (224^2, KV-cache)",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
+        "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
+        "tflops": round(tflops, 2),
+        "p50_latency_ms_per_frame": round(dt * 1e3, 2),
+    })
+
     # With the persistent compilation cache every secondary metric fits the
     # driver budget (warm-cache full run ~2 min); the guards below are only a
     # catastrophic backstop (e.g. cache dir wiped AND compiles pathologically
@@ -212,6 +259,7 @@ def main():
         tq1 = min(timed_q(k1) for _ in range(reps))
         tq2 = min(timed_q(k2) for _ in range(reps))
         fps_int8 = batch / ((tq2 - tq1) / (k2 - k1))
+        _PARTIAL["fps_int8_serving"] = round(fps_int8, 2)
 
     # unbounded streaming: ring (sliding-window) cache mode — same fused
     # kernel with the plane write at slot (len mod C) and the
@@ -243,6 +291,7 @@ def main():
         tr1 = min(timed_r(k1) for _ in range(reps))
         tr2 = min(timed_r(k2) for _ in range(reps))
         fps_ring = batch / ((tr2 - tr1) / (k2 - k1))
+        _PARTIAL["fps_ring_unbounded"] = round(fps_ring, 2)
 
     # ragged serving (continuous batching): per-stream lengths — every
     # batch row at its own position, one compiled program. Steady-state
@@ -274,6 +323,7 @@ def main():
         tg1 = min(timed_g(k1) for _ in range(reps))
         tg2 = min(timed_g(k2) for _ in range(reps))
         fps_ragged = batch / ((tg2 - tg1) / (k2 - k1))
+        _PARTIAL["fps_ragged_serving"] = round(fps_ragged, 2)
 
     # training throughput: full fwd+bwd+adamw on the flagship encoder with
     # an AR-style classification loss (16-frame clips, bf16). Soft time
@@ -334,6 +384,8 @@ def main():
                 cfg, batch, cfg.num_frames, t_new=cfg.num_frames
             )
             train_mfu = fl_t / dt_t / 1e12 / 197.0
+            _PARTIAL["train_clips_per_sec"] = round(train_cps, 2)
+            _PARTIAL["train_mfu"] = round(train_mfu, 4)
         except Exception as e:  # never break the bench line
             print(f"# train-step bench skipped: {e}", file=sys.stderr)
 
@@ -366,6 +418,7 @@ def main():
             tp1 = min(timed_p(2) for _ in range(reps))
             tp2 = min(timed_p(10) for _ in range(reps))
             preproc_fps = batch * 16 / ((tp2 - tp1) / 8)
+            _PARTIAL["preprocess_fps_on_device"] = round(preproc_fps, 1)
         except Exception as e:
             print(f"# preprocessing bench skipped: {e}", file=sys.stderr)
 
@@ -405,10 +458,12 @@ def main():
 
         if budget_left(1900):
             fps_512 = measure_512(cfg.replace(cache_capacity=512))
+            _PARTIAL["fps_512f_context_batch2"] = round(fps_512, 2)
         if budget_left(2000):
             fps_512_int8kv = measure_512(
                 cfg.replace(cache_capacity=512, cache_dtype="int8")
             )
+            _PARTIAL["fps_512_int8kv"] = round(fps_512_int8kv, 2)
 
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
@@ -445,7 +500,7 @@ def main():
             round(preproc_fps, 1) if preproc_fps else None
         ),
     }
-    print(json.dumps(result))
+    _emit(result)
     print(
         f"# per-step latency: {dt * 1e3:.2f} ms | batch={batch} | "
         f"capacity={cfg.cache_capacity} | "
