@@ -1,0 +1,136 @@
+"""AOT export artifacts (streamformer_tpu/export.py).
+
+Contract: a serialized artifact, deserialized with no model code in the
+loop (jax.export bytes -> callable), reproduces the live jitted program
+exactly — full-clip forward, streaming steps threading the cache, and
+the ragged per-stream variant. The torch reference has no export path;
+this is the deployment story of the rebuilt framework.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+from streamformer_tpu import export as EX
+
+CFG = StreamformerConfig(
+    image_size=32,
+    patch_size=16,
+    num_frames=8,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    dtype="float32",
+    use_pallas=False,
+    cache_capacity=8,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return encoder.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_full_clip_export_roundtrip(tmp_path, params):
+    blob = EX.export_full_clip(CFG, batch=2, path=str(tmp_path / "fc.bin"))
+    call = EX.load_exported(blob)
+    call_from_file = EX.load_exported(str(tmp_path / "fc.bin"))
+
+    px = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 3, 32, 32)),
+        jnp.float32,
+    )
+    ref = encoder.model_forward(params, px, CFG)
+    got = call(params, px)
+    np.testing.assert_array_equal(
+        np.asarray(got["pooler_output"]), np.asarray(ref["pooler_output"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["last_hidden_state"]),
+        np.asarray(ref["last_hidden_state"]),
+    )
+    got2 = call_from_file(params, px)
+    np.testing.assert_array_equal(
+        np.asarray(got2["pooler_output"]), np.asarray(ref["pooler_output"])
+    )
+
+
+def test_streaming_export_threads_cache(params):
+    """The exported step is stateless-callable: thread the cache through
+    N steps and match the live streaming path frame for frame."""
+    blob = EX.export_streaming_step(CFG, batch=1, t_new=1)
+    call = EX.load_exported(blob)
+
+    rng = np.random.default_rng(1)
+    clip = jnp.asarray(
+        rng.standard_normal((1, 6, 3, 32, 32)), jnp.float32
+    )
+    c_live = encoder.init_cache(CFG, batch=1)
+    c_exp = encoder.init_cache(CFG, batch=1)
+    for t in range(6):
+        o_live, c_live = encoder.streaming_forward(
+            params, clip[:, t : t + 1], c_live, CFG
+        )
+        o_exp, c_exp = call(params, clip[:, t : t + 1], c_exp)
+        np.testing.assert_allclose(
+            np.asarray(o_exp["pooler_output"]),
+            np.asarray(o_live["pooler_output"]),
+            rtol=0, atol=1e-6, err_msg=f"step {t}",
+        )
+
+
+def test_ragged_export(params):
+    """per_stream_len export: mixed per-stream positions match lone
+    streams through the exported program."""
+    blob = EX.export_streaming_step(CFG, batch=2, t_new=1,
+                                    per_stream_len=True)
+    call = EX.load_exported(blob)
+
+    rng = np.random.default_rng(2)
+    clips = jnp.asarray(rng.standard_normal((2, 4, 3, 32, 32)), jnp.float32)
+
+    # exported ragged: stream 0 starts 2 frames ahead of stream 1
+    c = encoder.init_cache(CFG, batch=2, per_stream_len=True)
+    for t in range(2):  # advance stream 0 only (stream 1 fed zeros, then
+        # its rows reset below)
+        o, c = call(params,
+                    jnp.stack([clips[0, t], jnp.zeros_like(clips[0, t])])[
+                        :, None
+                    ], c)
+    c = encoder.reset_streams(c, jnp.asarray([False, True]))
+    outs = []
+    for t in range(2):
+        frames = jnp.stack([clips[0, 2 + t], clips[1, t]])[:, None]
+        o, c = call(params, frames, c)
+        outs.append(np.asarray(o["pooler_output"][:, 0]))
+
+    # oracles: lone linear streams at their own positions
+    c0 = encoder.init_cache(CFG, batch=1)
+    ref0 = []
+    for t in range(4):
+        o, c0 = encoder.streaming_forward(params, clips[:1, t : t + 1],
+                                          c0, CFG)
+        ref0.append(np.asarray(o["pooler_output"][0, 0]))
+    c1 = encoder.init_cache(CFG, batch=1)
+    ref1 = []
+    for t in range(2):
+        o, c1 = encoder.streaming_forward(params, clips[1:, t : t + 1],
+                                          c1, CFG)
+        ref1.append(np.asarray(o["pooler_output"][0, 0]))
+
+    np.testing.assert_allclose(outs[0][0], ref0[2], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outs[1][0], ref0[3], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], ref1[0], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outs[1][1], ref1[1], rtol=0, atol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    out = tmp_path / "artifact.bin"
+    EX.main(["--out", str(out), "--streaming", "--batch", "1",
+             "--capacity", "8", "--num_frames", "8", "--dtype", "float32"])
+    assert out.stat().st_size > 0
