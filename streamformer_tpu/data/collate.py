@@ -114,6 +114,9 @@ class MultitaskLoader:
         self.aug_seed = aug_seed
         self._epoch = 0
         self._start_step = 0
+        self._pool = None  # lazy persistent decode pool (threads: cv2
+        # releases the GIL, and worker PROCESSES would re-open every
+        # VideoCapture per batch)
 
     def set_epoch(self, epoch: int, start_step: int = 0):
         """``start_step`` skips that many leading sampler batches WITHOUT
@@ -133,10 +136,11 @@ class MultitaskLoader:
     def _fetch(self, indices: List[int]) -> List[Dict]:
         real = [i for i in indices if i != PAD_INDEX]
         if self.num_workers > 1 and len(real) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.num_workers) as ex:
-                return list(ex.map(self.dataset.__getitem__, real))
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            return list(self._pool.map(self.dataset.__getitem__, real))
         return [self.dataset[i] for i in real]
 
     def _collate_host(self, samples: List[Dict]) -> Tuple[str, np.ndarray, List[Dict]]:
