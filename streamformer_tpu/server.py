@@ -1,0 +1,224 @@
+"""HTTP inference server over the StreamingEngine.
+
+The production front-end the reference never had (its "serving" is
+importing the training model code): a thin stdlib HTTP layer on top of
+``serving.StreamingEngine``. Request handlers run on the
+``ThreadingHTTPServer`` pool, but ALL engine calls — and therefore all
+device dispatch — are routed through ONE worker thread via a command
+queue (two threads jit-dispatching deadlocks some PJRT transports; same
+rule as serving.py's host loop). The worker ticks the engine whenever any
+slot has queued frames and otherwise blocks on the queue, so an idle
+server burns no cycles.
+
+API (JSON bodies; frames are base64 of raw float32/uint8 (t, C, H, W)):
+
+    POST /streams                      -> {"sid": int}
+    POST /streams/<sid>/frames  {"frames_b64", "shape", "dtype"} -> {"ok"}
+    POST /streams/<sid>/close          -> {"ok": true}
+    GET  /streams/<sid>/features       -> {"features": [[...]], "done": bool}
+    GET  /healthz                      -> {"ok": true, "slots": int}
+
+Features are drained incrementally (the ``poll`` contract): each GET
+returns only what was produced since the previous GET.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+
+from .config import StreamformerConfig
+from .serving import StreamingEngine
+
+__all__ = ["StreamingServer"]
+
+
+class _EngineActor:
+    """Single-threaded executor owning the engine: every call runs on one
+    worker thread, preserving the one-dispatch-thread rule."""
+
+    def __init__(self, engine: StreamingEngine):
+        self._engine = engine
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _has_work(self) -> bool:
+        e = self._engine
+        return any(
+            sid is not None and e._queues.get(sid)
+            for sid in e._slot_sid
+        ) or bool(e._pending)
+
+    def _run(self):
+        while True:
+            try:
+                # tick opportunistically while work is queued; block when idle
+                item = self._q.get(
+                    timeout=0.0 if self._has_work() else None
+                )
+            except queue.Empty:
+                self._engine.tick()
+                continue
+            if item is self._stop:
+                return
+            fn, args, out = item
+            try:
+                out["result"] = fn(self._engine, *args)
+            except Exception as e:  # surfaced to the HTTP caller as a 400
+                out["error"] = e
+            out["event"].set()
+
+    def call(self, fn: Callable, *args) -> Any:
+        out: dict = {"event": threading.Event()}
+        self._q.put((fn, args, out))
+        out["event"].wait()
+        if "error" in out:
+            raise out["error"]
+        return out["result"]
+
+    def shutdown(self):
+        self._q.put(self._stop)
+        self._thread.join(timeout=10)
+
+
+class StreamingServer:
+    """Serve streaming encode over HTTP.
+
+    >>> srv = StreamingServer(params, cfg, slots=8, port=0)
+    >>> srv.start()           # non-blocking; srv.port is the bound port
+    >>> ... HTTP traffic ...
+    >>> srv.stop()
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: StreamformerConfig,
+        slots: int = 8,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        **engine_kw,
+    ):
+        self._engine = StreamingEngine(params, cfg, slots=slots, **engine_kw)
+        self._actor: Optional[_EngineActor] = None
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._host, self.port = host, port
+        self._serve_thread: Optional[threading.Thread] = None
+
+    # -- engine ops (run on the actor thread) ------------------------------
+    @staticmethod
+    def _op_open(e):  # noqa: ANN001 — engine-actor calling convention
+        return e.open()
+
+    @staticmethod
+    def _op_feed(e, sid, frames):
+        e.feed(sid, frames)
+        return True
+
+    @staticmethod
+    def _op_close(e, sid):
+        e.close(sid)
+        return True
+
+    @staticmethod
+    def _op_poll(e, sid):
+        feats, done = e.poll(sid)
+        return feats, done
+
+    def start(self):
+        self._actor = _EngineActor(self._engine)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet by default; real deployments hook their own logging
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _route(self) -> Tuple[str, Optional[int], str]:
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["healthz"]:
+                    return "healthz", None, ""
+                if parts and parts[0] == "streams":
+                    if len(parts) == 1:
+                        return "streams", None, ""
+                    return "streams", int(parts[1]), (
+                        parts[2] if len(parts) > 2 else ""
+                    )
+                return "", None, ""
+
+            def do_GET(self):
+                kind, sid, leaf = self._route()
+                try:
+                    if kind == "healthz":
+                        return self._json(
+                            200, {"ok": True, "slots": server._engine.slots}
+                        )
+                    if kind == "streams" and sid is not None \
+                            and leaf == "features":
+                        feats, done = server._actor.call(server._op_poll, sid)
+                        return self._json(
+                            200,
+                            {"features": np.asarray(feats).tolist(),
+                             "done": bool(done)},
+                        )
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+                self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                kind, sid, leaf = self._route()
+                try:
+                    if kind == "streams" and sid is None:
+                        return self._json(
+                            200, {"sid": server._actor.call(server._op_open)}
+                        )
+                    if kind == "streams" and sid is not None:
+                        if leaf == "frames":
+                            b = self._body()
+                            raw = base64.b64decode(b["frames_b64"])
+                            arr = np.frombuffer(
+                                raw, dtype=np.dtype(b.get("dtype", "float32"))
+                            ).reshape(b["shape"])
+                            server._actor.call(server._op_feed, sid, arr)
+                            return self._json(200, {"ok": True})
+                        if leaf == "close":
+                            server._actor.call(server._op_close, sid)
+                            return self._json(200, {"ok": True})
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+                self._json(404, {"error": f"no route {self.path}"})
+
+        self._httpd = ThreadingHTTPServer((self._host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._actor is not None:
+            self._actor.shutdown()

@@ -1,0 +1,111 @@
+"""HTTP serving front-end (streamformer_tpu/server.py).
+
+Drives the real ThreadingHTTPServer over a socket: open/feed/close/poll
+via JSON+base64, multiple concurrent streams over fewer slots, feature
+parity with the lone-stream oracle, and error surfacing (linear-cache
+overflow -> HTTP 400). All device work stays on the engine actor thread.
+"""
+
+import base64
+import json
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+import jax
+
+from streamformer_tpu.config import StreamformerConfig
+from streamformer_tpu.models import encoder
+from streamformer_tpu.server import StreamingServer
+
+from test_serving import CFG, lone_stream
+
+
+@pytest.fixture(scope="module")
+def params():
+    return encoder.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _req(port, method, path, payload=None):
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _frames_payload(arr: np.ndarray) -> dict:
+    arr = np.ascontiguousarray(arr, np.float32)
+    return {
+        "frames_b64": base64.b64encode(arr.tobytes()).decode(),
+        "shape": list(arr.shape),
+        "dtype": "float32",
+    }
+
+
+def test_http_server_end_to_end(params):
+    rng = np.random.default_rng(0)
+    lens = [3, 5, 2]
+    clips = [rng.standard_normal((n, 3, 32, 32)).astype(np.float32)
+             for n in lens]
+
+    srv = StreamingServer(params, CFG, slots=2, port=0).start()
+    try:
+        assert _req(srv.port, "GET", "/healthz")["ok"]
+
+        sids = []
+        for clip in clips:
+            sid = _req(srv.port, "POST", "/streams")["sid"]
+            _req(srv.port, "POST", f"/streams/{sid}/frames",
+                 _frames_payload(clip))
+            _req(srv.port, "POST", f"/streams/{sid}/close")
+            sids.append(sid)
+
+        got = {}
+        deadline = time.time() + 120
+        while len(got) < len(sids) and time.time() < deadline:
+            for sid in sids:
+                if sid in got:
+                    continue
+                r = _req(srv.port, "GET", f"/streams/{sid}/features")
+                feats = np.asarray(r["features"], np.float32)
+                prev = got.get((sid, "acc"))
+                acc = feats if prev is None else np.concatenate([prev, feats])
+                got[(sid, "acc")] = acc
+                if r["done"]:
+                    got[sid] = acc
+            time.sleep(0.05)
+
+        for sid, clip in zip(sids, clips):
+            assert sid in got, f"stream {sid} never finished"
+            np.testing.assert_allclose(
+                got[sid], lone_stream(params, clip), rtol=0, atol=1e-5,
+                err_msg=f"stream {sid}",
+            )
+    finally:
+        srv.stop()
+
+
+def test_http_server_errors(params):
+    srv = StreamingServer(params, CFG, slots=1, port=0).start()
+    try:
+        sid = _req(srv.port, "POST", "/streams")["sid"]
+        too_long = np.zeros(
+            (CFG.cache_capacity + 1, 3, 32, 32), np.float32
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "POST", f"/streams/{sid}/frames",
+                 _frames_payload(too_long))
+        assert ei.value.code == 400
+        assert "exceed" in json.loads(ei.value.read())["error"]
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "GET", "/nope")
+        assert ei.value.code == 404
+    finally:
+        srv.stop()
