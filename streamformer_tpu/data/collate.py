@@ -143,6 +143,19 @@ class MultitaskLoader:
             return list(self._pool.map(self.dataset.__getitem__, real))
         return [self.dataset[i] for i in real]
 
+    def close(self):
+        """Release the decode pool (also runs at GC so the per-epoch
+        loaders train/run.py builds don't each park num_workers threads)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _collate_host(self, samples: List[Dict]) -> Tuple[str, np.ndarray, List[Dict]]:
         """numpy-only collation — safe inside the prefetch thread (device
         dispatch from a second thread deadlocks some PJRT transports)."""

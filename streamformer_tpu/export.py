@@ -135,9 +135,7 @@ def load_exported(blob_or_path) -> Callable:
     The returned callable takes/returns the original pytrees (params,
     arrays, cache dicts) — structure is embedded in the artifact.
     """
-    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
-        blob_or_path, bytes
-    ):
+    if isinstance(blob_or_path, str):
         with open(blob_or_path, "rb") as f:
             blob = f.read()
     else:
@@ -167,6 +165,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args(argv)
 
+    if args.ragged and not args.streaming:
+        p.error("--ragged is a streaming-step option; pass --streaming")
     cfg = StreamformerConfig(
         dtype=args.dtype, cache_capacity=args.capacity,
         num_frames=args.num_frames,

@@ -47,15 +47,32 @@ class _EngineActor:
         self._engine = engine
         self._q: "queue.Queue" = queue.Queue()
         self._stop = object()
+        self._fatal: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _has_work(self) -> bool:
+        """True iff tick() would actually feed a frame — mirrors the
+        engine's admission rules so the actor never spins on no-op ticks
+        (e.g. a stream opened but not yet fed)."""
         e = self._engine
-        return any(
-            sid is not None and e._queues.get(sid)
+        if any(sid is not None and e._queues.get(sid)
+               for sid in e._slot_sid):
+            return True
+        slot_free = any(
+            sid is None or sid not in e._queues
+            or (sid in e._closed and not e._queues[sid])
             for sid in e._slot_sid
-        ) or bool(e._pending)
+        )
+        if not slot_free:
+            return False
+        for h in e._pending:  # effective FIFO head decides admission
+            if h not in e._queues or (
+                h in e._closed and not e._queues[h]
+            ):
+                continue
+            return bool(e._queues[h])
+        return False
 
     def _run(self):
         while True:
@@ -65,7 +82,12 @@ class _EngineActor:
                     timeout=0.0 if self._has_work() else None
                 )
             except queue.Empty:
-                self._engine.tick()
+                try:
+                    self._engine.tick()
+                except BaseException as e:  # engine broken: die loudly —
+                    # call() surfaces this to every future HTTP request
+                    self._fatal = e
+                    return
                 continue
             if item is self._stop:
                 return
@@ -79,7 +101,11 @@ class _EngineActor:
     def call(self, fn: Callable, *args) -> Any:
         out: dict = {"event": threading.Event()}
         self._q.put((fn, args, out))
-        out["event"].wait()
+        # never wait on a dead actor: a tick() crash must become an HTTP
+        # error, not a hung connection
+        while not out["event"].wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError(f"engine actor died: {self._fatal!r}")
         if "error" in out:
             raise out["error"]
         return out["result"]
@@ -107,6 +133,13 @@ class StreamingServer:
         port: int = 0,
         **engine_kw,
     ):
+        # linear cache mode by default (NOT the engine's "auto", which
+        # resolves to ring on TPU): ring's feed-or-close contract cannot be
+        # met by independent HTTP clients whose feeds arrive in bursts
+        # between ticks — a momentarily starved slot would assert. Linear
+        # holds starved slots losslessly. Pass mode="ring" explicitly only
+        # for lockstep always-fed deployments.
+        engine_kw.setdefault("mode", "linear")
         self._engine = StreamingEngine(params, cfg, slots=slots, **engine_kw)
         self._actor: Optional[_EngineActor] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -161,7 +194,11 @@ class StreamingServer:
                 if parts and parts[0] == "streams":
                     if len(parts) == 1:
                         return "streams", None, ""
-                    return "streams", int(parts[1]), (
+                    try:
+                        sid = int(parts[1])
+                    except ValueError:  # non-numeric id -> 404, not a
+                        return "", None, ""  # dropped connection
+                    return "streams", sid, (
                         parts[2] if len(parts) > 2 else ""
                     )
                 return "", None, ""

@@ -85,7 +85,6 @@ class StreamingEngine:
         self._slot_sid: List[Optional[int]] = [None] * slots
         self._queues: Dict[int, deque] = {}
         self._closed: set = set()
-        self._finished: set = set()  # polled-to-completion stream ids
         self._results: Dict[int, list] = {}
         self._served: Dict[int, int] = {}
         self._fed: Dict[int, int] = {}  # total frames fed per stream
@@ -169,14 +168,16 @@ class StreamingEngine:
         for s in range(self.slots):
             sid = self._slot_sid[s]
             if sid is not None and (
-                sid in self._finished
+                sid not in self._queues  # reclaimed by poll()
                 or (sid in self._closed and not self._queues[sid])
             ):
                 self._slot_sid[s] = None
             while self._slot_sid[s] is None and self._pending:
                 head = self._pending[0]
-                if head in self._closed and not self._queues[head]:
-                    self._pending.popleft()  # nothing to serve
+                if head not in self._queues or (
+                    head in self._closed and not self._queues[head]
+                ):
+                    self._pending.popleft()  # reclaimed / nothing to serve
                     continue
                 if self._queues[head]:
                     self._slot_sid[s] = self._pending.popleft()
@@ -235,9 +236,12 @@ class StreamingEngine:
 
         Per-stream bookkeeping is reclaimed on the poll that observes
         completion — a long-lived engine serving many short streams stays
-        O(live streams), not O(streams ever opened)."""
+        O(live streams), not O(streams ever opened): a reclaimed sid is
+        recognized by absence (valid id, no bookkeeping) and keeps
+        answering (empty, True)."""
+        assert 0 <= sid < self._next_sid, f"unknown stream {sid}"
         empty = np.zeros((0, self.cfg.hidden_size), np.float32)
-        if sid in self._finished:
+        if sid not in self._queues:  # reclaimed: finished earlier
             return empty, True
         self._drain_stash()
         out = self._results[sid]
@@ -245,10 +249,11 @@ class StreamingEngine:
         self._results[sid] = []
         done = sid in self._closed and not self._queues[sid]
         if done:
-            self._finished.add(sid)
             for d in (self._queues, self._results, self._served, self._fed):
                 d.pop(sid, None)
             self._closed.discard(sid)
+            if sid in self._pending:  # closed empty before ever admitted
+                self._pending.remove(sid)
         return feats, done
 
     def run_until_idle(self, max_ticks: int = 1_000_000) -> int:

@@ -73,7 +73,11 @@ def test_http_server_end_to_end(params):
                 if sid in got:
                     continue
                 r = _req(srv.port, "GET", f"/streams/{sid}/features")
-                feats = np.asarray(r["features"], np.float32)
+                # an empty poll round-trips through JSON as [], shape (0,):
+                # normalize to (t, D) before accumulating
+                feats = np.asarray(r["features"], np.float32).reshape(
+                    -1, CFG.hidden_size
+                )
                 prev = got.get((sid, "acc"))
                 acc = feats if prev is None else np.concatenate([prev, feats])
                 got[(sid, "acc")] = acc
@@ -107,5 +111,15 @@ def test_http_server_errors(params):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(srv.port, "GET", "/nope")
         assert ei.value.code == 404
+
+        # non-numeric stream id: JSON 404, not a dropped connection
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "GET", "/streams/abc/features")
+        assert ei.value.code == 404
+
+        # unknown numeric stream id: engine assert -> JSON 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "GET", "/streams/999/features")
+        assert ei.value.code == 400
     finally:
         srv.stop()

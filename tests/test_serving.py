@@ -162,6 +162,28 @@ def test_engine_linear_overflow_and_reclaim(params):
     )
 
 
+def test_engine_close_unadmitted_then_poll(params):
+    """A stream opened, closed empty, and polled BEFORE ever being
+    admitted must answer (empty, True) and leave the pending queue clean —
+    regression: the reclaim used to leave the sid in _pending, and the
+    next tick's admission loop crashed on the popped bookkeeping."""
+    rng = np.random.default_rng(5)
+    eng = StreamingEngine(params, CFG, slots=1)
+    busy = eng.open()
+    eng.feed(busy, rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    eng.tick()  # occupy the only slot
+    ghost = eng.open()  # queued behind the busy slot
+    eng.close(ghost)  # closed with nothing fed
+    f, done = eng.poll(ghost)  # reclaim while still pending
+    assert done and f.shape == (0, CFG.hidden_size)
+    eng.close(busy)
+    eng.run_until_idle()  # regression: KeyError here before the fix
+    f, done = eng.poll(busy)
+    assert done and f.shape == (2, CFG.hidden_size)
+    with pytest.raises(AssertionError, match="unknown stream"):
+        eng.poll(999)
+
+
 def test_engine_ring_feed_or_close_contract(params, monkeypatch):
     """Ring mode cannot hold a starved stream — the engine must say so
     loudly instead of corrupting the sliding window. (Ragged ring runs
