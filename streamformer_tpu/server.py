@@ -166,6 +166,13 @@ class StreamingServer:
         feats, done = e.poll(sid)
         return feats, done
 
+    @staticmethod
+    def _op_stats(e):
+        return {
+            "active_streams": e.active_streams(),
+            "slots_occupied": sum(s is not None for s in e._slot_sid),
+        }
+
     def start(self):
         self._actor = _EngineActor(self._engine)
         server = self
@@ -207,8 +214,16 @@ class StreamingServer:
                 kind, sid, leaf = self._route()
                 try:
                     if kind == "healthz":
+                        # a real liveness probe: routes through the actor,
+                        # so a dead engine thread answers 503, not 200
+                        try:
+                            stats = server._actor.call(server._op_stats)
+                        except RuntimeError as e:
+                            return self._json(503,
+                                              {"ok": False, "error": str(e)})
                         return self._json(
-                            200, {"ok": True, "slots": server._engine.slots}
+                            200, {"ok": True,
+                                  "slots": server._engine.slots, **stats}
                         )
                     if kind == "streams" and sid is not None \
                             and leaf == "features":

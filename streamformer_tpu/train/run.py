@@ -284,6 +284,7 @@ def main():
             start_micro=epoch_micro,
         )
         stats["epoch_time"] = time.time() - t0
+        loader.close()  # release the decode pool now, not at GC
         if "preempted_at_micro" in stats:
             micro_done = int(stats["preempted_at_micro"])
             ckpt_lib.save_checkpoint(
