@@ -35,6 +35,7 @@ from streamformer_tpu.models import encoder
 __all__ = [
     "export_streaming_step",
     "export_full_clip",
+    "export_sharded_forward",
     "load_exported",
 ]
 
@@ -58,6 +59,7 @@ def export_streaming_step(
     t_new: int = 1,
     *,
     per_stream_len: bool = False,
+    quantized_weights: bool = False,
     platforms: Optional[Sequence[str]] = None,
     path: Optional[str] = None,
 ) -> bytes:
@@ -71,6 +73,9 @@ def export_streaming_step(
     The cache argument is donated (in-place update on TPU, exactly like
     the live serving path). ``per_stream_len`` exports the ragged
     continuous-batching variant (cache["len"] is (B,)).
+    ``quantized_weights`` exports the int8-dense serving program — the
+    artifact then expects the pytree produced by
+    ``ops.quant.quantize_encoder_params`` instead of raw params.
 
     No weights are needed at export time: shapes come from ``cfg`` via
     ``jax.eval_shape``. Returns the serialized bytes; also written to
@@ -80,6 +85,10 @@ def export_streaming_step(
         partial(encoder.streaming_forward, cfg=cfg), donate_argnums=(2,)
     )
     params_s = _params_abstract(cfg)
+    if quantized_weights:
+        from streamformer_tpu.ops import quant
+
+        params_s = jax.eval_shape(quant.quantize_encoder_params, params_s)
     frames_s = jax.ShapeDtypeStruct(
         (batch, t_new, 3, cfg.image_size, cfg.image_size),
         jnp.dtype(cfg.dtype),
@@ -128,6 +137,48 @@ def export_full_clip(
     return blob
 
 
+def export_sharded_forward(
+    cfg: StreamformerConfig,
+    batch: int,
+    mesh,
+    num_frames: Optional[int] = None,
+    *,
+    path: Optional[str] = None,
+) -> bytes:
+    """Serialize the GSPMD-partitioned full-clip forward.
+
+    Partitioning: DP over the mesh "data" axis (batch rows), Megatron TP
+    over "model" (parallel/sharding.py column/row specs), outputs
+    replicated. The artifact records the mesh size and the per-argument
+    shardings; at load time, call it under an equally-sized device set
+    with params placed by ``parallel.sharding.shard_params`` — XLA re-runs
+    the same partitioned program, collectives included. This is the
+    multi-chip deployment artifact (a 7B VideoQA tower on 16 GB v5e chips
+    serves TP-sharded; SURVEY §2.11).
+    """
+    from streamformer_tpu.parallel import sharding as S
+
+    t = num_frames if num_frames is not None else cfg.num_frames
+    params_s = _params_abstract(cfg)
+    fwd = jax.jit(
+        partial(encoder.model_forward, cfg=cfg),
+        in_shardings=(
+            S.param_shardings(params_s, mesh),
+            S.batch_sharding(mesh),
+        ),
+        out_shardings=S.replicated(mesh),
+    )
+    px_s = jax.ShapeDtypeStruct(
+        (batch, t, 3, cfg.image_size, cfg.image_size), jnp.dtype(cfg.dtype)
+    )
+    exp = jexport.export(fwd)(params_s, px_s)
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def load_exported(blob_or_path) -> Callable:
     """Deserialize an exported artifact into a callable.
 
@@ -162,11 +213,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--capacity", type=int, default=16)
     p.add_argument("--ragged", action="store_true",
                    help="per-stream lengths (continuous batching)")
+    p.add_argument("--int8_weights", action="store_true",
+                   help="int8-dense serving program (expects the "
+                        "quantize_encoder_params pytree)")
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args(argv)
 
-    if args.ragged and not args.streaming:
-        p.error("--ragged is a streaming-step option; pass --streaming")
+    if (args.ragged or args.int8_weights) and not args.streaming:
+        p.error("--ragged/--int8_weights are streaming-step options; "
+                "pass --streaming")
     cfg = StreamformerConfig(
         dtype=args.dtype, cache_capacity=args.capacity,
         num_frames=args.num_frames,
@@ -174,7 +229,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.streaming:
         blob = export_streaming_step(
             cfg, args.batch, args.t_new, per_stream_len=args.ragged,
-            path=args.out,
+            quantized_weights=args.int8_weights, path=args.out,
         )
     else:
         blob = export_full_clip(

@@ -129,6 +129,57 @@ def test_ragged_export(params):
     np.testing.assert_allclose(outs[1][1], ref1[1], rtol=0, atol=1e-5)
 
 
+def test_quantized_weights_export(params):
+    """int8-dense artifact: expects the quantize_encoder_params pytree and
+    matches the live int8 serving path."""
+    from streamformer_tpu.ops import quant
+
+    blob = EX.export_streaming_step(CFG, batch=1, t_new=1,
+                                    quantized_weights=True)
+    call = EX.load_exported(blob)
+    qparams = quant.quantize_encoder_params(params)
+
+    rng = np.random.default_rng(3)
+    clip = jnp.asarray(rng.standard_normal((1, 3, 3, 32, 32)), jnp.float32)
+    c_live = encoder.init_cache(CFG, batch=1)
+    c_exp = encoder.init_cache(CFG, batch=1)
+    for t in range(3):
+        o_live, c_live = encoder.streaming_forward(
+            qparams, clip[:, t : t + 1], c_live, CFG
+        )
+        o_exp, c_exp = call(qparams, clip[:, t : t + 1], c_exp)
+        np.testing.assert_allclose(
+            np.asarray(o_exp["pooler_output"]),
+            np.asarray(o_live["pooler_output"]),
+            rtol=0, atol=1e-6,
+        )
+
+
+def test_sharded_forward_export(params):
+    """GSPMD artifact on the 8-device virtual mesh (dp=4, mp=2): the
+    partitioned program (collectives included) round-trips through
+    serialize/deserialize and matches the unsharded forward."""
+    from streamformer_tpu.parallel.mesh import make_mesh
+    from streamformer_tpu.parallel import sharding as S
+
+    mesh = make_mesh(data=4, model=2)
+    blob = EX.export_sharded_forward(CFG, batch=4, mesh=mesh, num_frames=4)
+    call = EX.load_exported(blob)
+
+    px = jnp.asarray(
+        np.random.default_rng(4).standard_normal((4, 4, 3, 32, 32)),
+        jnp.float32,
+    )
+    ref = encoder.model_forward(params, px, CFG)
+    sharded_params = S.shard_params(params, mesh)
+    px_sharded = jax.device_put(px, S.batch_sharding(mesh))
+    got = call(sharded_params, px_sharded)
+    np.testing.assert_allclose(
+        np.asarray(got["pooler_output"]), np.asarray(ref["pooler_output"]),
+        rtol=0, atol=1e-5,
+    )
+
+
 def test_export_cli(tmp_path):
     out = tmp_path / "artifact.bin"
     EX.main(["--out", str(out), "--streaming", "--batch", "1",
