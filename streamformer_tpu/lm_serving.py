@@ -1,0 +1,231 @@
+"""Continuous-batching LM decode engine (the VideoQA tower's server side).
+
+The torch reference generates with HF `model.generate` — one lockstep
+batch, every sequence padded to the longest prompt and decoded until the
+last one finishes (downstream/VideoQA/llava). This engine serves
+generation the way the video encoder's StreamingEngine serves encode:
+``slots`` concurrent requests advance through ONE compiled ragged decode
+step per tick, each at its own depth (cache ``len`` is per-stream), and a
+finished request frees its slot for the next queued prompt immediately —
+no recompile, no tail-latency coupling between requests.
+
+Structure:
+
+* Prefill: a queued prompt is padded up to a small set of bucket lengths
+  (one compiled program per bucket) and run through a batch-1 forward with
+  a scalar-length cache; its K/V planes are then scattered into the
+  engine cache's slot row and ``len[slot]`` set to the true prompt length.
+  Pad rows land past the frontier, where every later mask excludes them
+  until the decode frontier overwrites them — same invariant the video
+  engine relies on.
+* Decode: one jitted t=1 ragged step for all slots. Idle slots are fed a
+  dummy token whose cache row is rolled back inside the same program (the
+  ``len - 1`` hold), so occupancy changes never retrace.
+* Finish: EOS, per-request ``max_new_tokens``, or cache capacity. The
+  slot is freed at the next tick; the next prefill's ``len[slot]`` write
+  re-admits the row (stale K/V is masked, never cleared).
+
+Host loop syncs one small (slots,) token array per tick — the decode is
+dispatch-pipelined otherwise. Prompts are EMBEDDINGS (L, D), so the
+VideoQA image-token splicing (vision features interleaved with text)
+composes directly: build the spliced embeds, hand them to ``open``.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models import language_model as LM
+
+__all__ = ["DecodeEngine"]
+
+
+class DecodeEngine:
+    def __init__(
+        self,
+        params,
+        cfg: "LM.LMConfig",
+        slots: int = 8,
+        capacity: int = 512,
+        max_new_tokens: int = 128,
+        eos_token_id: Optional[int] = None,
+        prefill_buckets: Sequence[int] = (32, 64, 128, 256),
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.capacity = capacity
+        self.max_new_tokens = max_new_tokens
+        self.eos_token_id = eos_token_id
+        self.buckets = sorted(b for b in prefill_buckets if b <= capacity)
+        assert self.buckets, "no prefill bucket fits the capacity"
+        self._cache = LM.init_cache(cfg, slots, capacity,
+                                    per_stream_len=True)
+        self._decode = self._make_decode()
+        self._prefill = {}  # bucket length -> compiled program
+        # host bookkeeping (incl. a host mirror of per-slot cache lengths,
+        # so ticks never read the device)
+        self._slot_sid: List[Optional[int]] = [None] * slots
+        self._last_tok = np.zeros(slots, np.int32)
+        self._host_len = np.zeros(slots, np.int64)
+        self._pending: deque = deque()  # (sid, embeds, max_new)
+        self._results: Dict[int, list] = {}
+        self._done: set = set()
+        self._budget: Dict[int, int] = {}  # sid -> remaining new tokens
+        self._next_sid = 0
+
+    # -- compiled programs --------------------------------------------------
+    def _make_decode(self):
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, toks, cache, active):
+            emb = LM.embed_tokens(params, toks)[:, None]  # (S, 1, D)
+            out, cache = LM.forward(params, emb, cfg, cache=cache)
+            # hold idle slots: the dummy row just written is rolled back
+            # out of the frontier (masked everywhere, overwritten later)
+            cache = {
+                **cache,
+                "len": jnp.where(active, cache["len"], cache["len"] - 1),
+            }
+            ntok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+            return ntok, cache
+
+        return step
+
+    def _prefill_for(self, lb: int):
+        if lb in self._prefill:
+            return self._prefill[lb]
+        cfg, cap, n_layers = self.cfg, self.capacity, self.cfg.num_hidden_layers
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def prefill(params, emb, cache, slot, true_len):
+            """emb (1, lb, D) end-padded; writes slot's K/V + len, returns
+            the first generated token."""
+            small = LM.init_cache(cfg, 1, cap)
+            out, small = LM.forward(params, emb, cfg, cache=small)
+            tok = jnp.argmax(out["logits"][0, true_len - 1]).astype(jnp.int32)
+            layers = []
+            for i in range(n_layers):
+                big, sm = cache["layers"][i], small["layers"][i]
+                layers.append({
+                    "k": jax.lax.dynamic_update_slice(
+                        big["k"], sm["k"], (slot, 0, 0, 0)
+                    ),
+                    "v": jax.lax.dynamic_update_slice(
+                        big["v"], sm["v"], (slot, 0, 0, 0)
+                    ),
+                })
+            ln = cache["len"].at[slot].set(true_len)
+            return tok, {"layers": layers, "len": ln}
+
+        self._prefill[lb] = prefill
+        return prefill
+
+    # -- public API ----------------------------------------------------------
+    def open(self, prompt_embeds, max_new_tokens: Optional[int] = None) -> int:
+        """Queue a request. ``prompt_embeds`` is (L, D) — token embeddings,
+        optionally with vision features spliced in (VideoQA contract)."""
+        emb = np.asarray(prompt_embeds)
+        assert emb.ndim == 2, "prompt_embeds must be (L, D)"
+        lmax = self.buckets[-1]
+        if len(emb) > lmax:
+            raise ValueError(
+                f"prompt length {len(emb)} exceeds the largest prefill "
+                f"bucket {lmax}; raise prefill_buckets/capacity"
+            )
+        sid = self._next_sid
+        self._next_sid += 1
+        self._results[sid] = []
+        self._budget[sid] = (
+            self.max_new_tokens if max_new_tokens is None else max_new_tokens
+        )
+        self._pending.append((sid, emb))
+        return sid
+
+    def _admit(self) -> int:
+        """Admit pending prompts while free slots remain. Loops so a
+        prefill that finishes instantly (EOS/budget-1 on its first token)
+        hands its slot straight to the next queued request."""
+        n = 0
+        while self._pending:
+            s = next(
+                (i for i in range(self.slots) if self._slot_sid[i] is None),
+                None,
+            )
+            if s is None:
+                break
+            sid, emb = self._pending.popleft()
+            true_len = len(emb)
+            lb = next(b for b in self.buckets if b >= true_len)
+            pad = np.zeros((lb - true_len, emb.shape[1]), emb.dtype)
+            embp = jnp.asarray(np.concatenate([emb, pad])[None])
+            tok, self._cache = self._prefill_for(lb)(
+                self.params, embp, self._cache,
+                jnp.asarray(s, jnp.int32), jnp.asarray(true_len, jnp.int32),
+            )
+            self._slot_sid[s] = sid
+            self._last_tok[s] = int(tok)
+            self._host_len[s] = true_len
+            self._emit(s, int(tok))
+            n += 1
+        return n
+
+    def _emit(self, s: int, tok: int):
+        sid = self._slot_sid[s]
+        self._results[sid].append(tok)
+        self._budget[sid] -= 1
+        eos = self.eos_token_id is not None and tok == self.eos_token_id
+        if eos or self._budget[sid] <= 0:
+            self._done.add(sid)
+            self._slot_sid[s] = None
+
+    def tick(self) -> bool:
+        """Admit pending prompts, then decode every occupied slot one
+        token. Returns False when idle."""
+        admitted = self._admit()
+        # capacity guard BEFORE the step: a row at the frontier cannot take
+        # another token (the append would clamp onto the last row)
+        for s in range(self.slots):
+            if (self._slot_sid[s] is not None
+                    and self._host_len[s] >= self.capacity):
+                self._done.add(self._slot_sid[s])
+                self._slot_sid[s] = None
+        active_slots = [s for s in range(self.slots)
+                        if self._slot_sid[s] is not None]
+        if not active_slots:
+            return admitted > 0  # prefill-only tick still made progress
+        active = np.zeros(self.slots, bool)
+        active[active_slots] = True
+        toks, self._cache = self._decode(
+            self.params, jnp.asarray(self._last_tok), self._cache,
+            jnp.asarray(active),
+        )
+        toks = np.asarray(toks)
+        for s in active_slots:
+            self._host_len[s] += 1
+            self._last_tok[s] = toks[s]
+            self._emit(s, int(toks[s]))
+        return True
+
+    def poll(self, sid: int) -> Tuple[List[int], bool]:
+        """(new tokens since last poll, finished?)."""
+        out = self._results.get(sid, [])
+        self._results[sid] = []
+        done = sid in self._done
+        if done and not out:
+            self._results.pop(sid, None)
+            self._budget.pop(sid, None)
+        return out, done
+
+    def run_until_idle(self, max_ticks: int = 100_000) -> int:
+        n = 0
+        while n < max_ticks and self.tick():
+            n += 1
+        return n

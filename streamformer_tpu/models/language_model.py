@@ -125,16 +125,36 @@ def _dense(x, p):
     return y
 
 
-def init_cache(cfg: LMConfig, batch: int, capacity: int) -> Params:
+def init_cache(
+    cfg: LMConfig, batch: int, capacity: int, per_stream_len: bool = False
+) -> Params:
+    """Fixed-capacity KV cache. ``per_stream_len=True`` makes ``len`` a
+    (batch,) vector so every row decodes at its own position — the ragged
+    continuous-batching form (same design as the video encoder's ragged
+    cache; the torch reference's DynamicCache is lockstep-only)."""
     dt = jnp.dtype(cfg.dtype)
     shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    ln = (
+        jnp.zeros((batch,), jnp.int32)
+        if per_stream_len
+        else jnp.zeros((), jnp.int32)
+    )
     return {
         "layers": [
             {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
             for _ in range(cfg.num_hidden_layers)
         ],
-        "len": jnp.zeros((), jnp.int32),
+        "len": ln,
     }
+
+
+def reset_streams(cache: Params, done: jnp.ndarray) -> Params:
+    """Re-admit finished rows of a per-stream-length cache (len -> 0 where
+    ``done``). Stale K/V needs no clearing: every mask excludes positions
+    >= len. Jittable."""
+    ln = cache["len"]
+    assert ln.ndim == 1, "reset_streams needs init_cache(per_stream_len=True)"
+    return {**cache, "len": jnp.where(done, 0, ln)}
 
 
 def forward(
@@ -146,6 +166,10 @@ def forward(
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[Params]]:
     """Causal decoder forward. With ``cache``, the L new positions append at
     ``cache["len"]`` and ``attention_mask`` (if given) covers cached+new.
+    A (B,)-shaped ``cache["len"]`` (init_cache(per_stream_len=True)) makes
+    the step RAGGED: every batch row appends, masks, and applies RoPE at
+    its own position — one compiled program serves streams at mixed decode
+    depths (continuous batching).
     Returns ({"logits", "last_hidden_state"}, new_cache)."""
     b, l, d = inputs_embeds.shape
     dt = jnp.dtype(cfg.dtype)
@@ -153,8 +177,12 @@ def forward(
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     rep = hq // hkv
     start = cache["len"] if cache is not None else jnp.zeros((), jnp.int32)
-    positions = start + jnp.arange(l)[None]  # (1, L) broadcast over batch
-    positions = jnp.broadcast_to(positions, (b, l))
+    ragged = start.ndim == 1
+    if ragged:
+        positions = start[:, None] + jnp.arange(l)[None]  # (B, L)
+    else:
+        positions = start + jnp.arange(l)[None]  # (1, L) broadcast over batch
+        positions = jnp.broadcast_to(positions, (b, l))
 
     new_layers = []
     for i, lp in enumerate(params["layers"]):
@@ -166,27 +194,47 @@ def forward(
         k = _rope(k, positions, cfg.rope_theta)
 
         if cache is not None:
-            ck = jax.lax.dynamic_update_slice(
-                cache["layers"][i]["k"], k.astype(dt), (0, start, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cache["layers"][i]["v"], v.astype(dt), (0, start, 0, 0)
-            )
+            if ragged:
+                # per-row append: vmapped DUS with per-stream start rows
+                ck = jax.vmap(
+                    lambda c, new, s: jax.lax.dynamic_update_slice(
+                        c, new, (s, 0, 0)
+                    )
+                )(cache["layers"][i]["k"], k.astype(dt), start)
+                cv = jax.vmap(
+                    lambda c, new, s: jax.lax.dynamic_update_slice(
+                        c, new, (s, 0, 0)
+                    )
+                )(cache["layers"][i]["v"], v.astype(dt), start)
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    cache["layers"][i]["k"], k.astype(dt), (0, start, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cache["layers"][i]["v"], v.astype(dt), (0, start, 0, 0)
+                )
             new_layers.append({"k": ck, "v": cv})
             k_att, v_att = ck, cv
             kl = ck.shape[1]
             kpos = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 1)
-            qpos = start + jax.lax.broadcasted_iota(jnp.int32, (l, kl), 0)
-            mask = kpos <= qpos  # causal + only-written (kpos >= start+l > qpos masked)
+            qoff = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 0)
+            if ragged:
+                # (B, l, kl): each row causal at its own depth; rows past
+                # a stream's frontier are excluded until overwritten
+                mask = kpos[None] <= start[:, None, None] + qoff[None]
+            else:
+                mask = kpos <= start + qoff  # causal + only-written
         else:
             k_att, v_att = k, v
             kl = l
             mask = jnp.tril(jnp.ones((l, l), bool))
+        if mask.ndim == 2:
+            mask = jnp.broadcast_to(mask[None], (b, l, kl))
         if attention_mask is not None:
             pad = attention_mask[:, :kl].astype(bool)  # (B, kl)
-            full_mask = mask[None] & pad[:, None, :]
+            full_mask = mask & pad[:, None, :]
         else:
-            full_mask = jnp.broadcast_to(mask[None], (b, l, kl))
+            full_mask = mask
 
         kr = jnp.repeat(k_att, rep, axis=2)  # (B, kl, Hq, dh)
         vr = jnp.repeat(v_att, rep, axis=2)

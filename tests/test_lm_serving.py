@@ -1,0 +1,162 @@
+"""Continuous-batching LM decode (streamformer_tpu/lm_serving.py).
+
+Contracts:
+* ragged forward — a (B,)-length cache step at mixed depths equals lone
+  scalar-cache forwards row for row;
+* DecodeEngine — every request's tokens equal a lone
+  ``greedy_generate`` (prefill-bucket padding, slot recycling, holds and
+  mixed admission included);
+* EOS and capacity finishes free slots for queued requests.
+
+The torch reference serves generation as one lockstep HF ``generate``
+batch (padded to the longest prompt, running until the last row ends);
+this engine is the continuous-batching replacement.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamformer_tpu.models import language_model as LM
+from streamformer_tpu.lm_serving import DecodeEngine
+
+from test_language_model import SMALL
+
+
+@pytest.fixture(scope="module")
+def lm():
+    params = LM.init_params(jax.random.PRNGKey(3), SMALL)
+    return SMALL, params
+
+
+def _prompt(rng, n):
+    ids = rng.integers(0, SMALL.vocab_size, size=(n,))
+    return ids, None
+
+
+def _emb(params, ids):
+    return np.asarray(LM.embed_tokens(params, jnp.asarray(ids)))
+
+
+def test_ragged_forward_matches_lone(lm):
+    """One ragged step at mixed depths == lone scalar-cache steps."""
+    cfg, params = lm
+    rng = np.random.default_rng(0)
+    cap, b = 16, 3
+    depths = [0, 4, 9]
+    tok_hist = rng.integers(0, cfg.vocab_size, size=(b, 10))
+    new_tok = rng.integers(0, cfg.vocab_size, size=(b,))
+
+    # lone oracles: feed each row's history then one new token
+    lone_logits, lone_k = [], []
+    for r in range(b):
+        c = LM.init_cache(cfg, 1, cap)
+        if depths[r]:
+            hist = _emb(params, tok_hist[r, : depths[r]])[None]
+            _, c = LM.forward(params, jnp.asarray(hist), cfg, cache=c)
+        out, c = LM.forward(
+            params, jnp.asarray(_emb(params, new_tok[r : r + 1])[None]),
+            cfg, cache=c,
+        )
+        lone_logits.append(np.asarray(out["logits"][0, -1]))
+        lone_k.append(np.asarray(c["layers"][0]["k"][0]))
+
+    # ragged: same state in one (B,) cache, one step
+    cr = LM.init_cache(cfg, b, cap, per_stream_len=True)
+    for r in range(b):  # build each row via lockstep writes on a slice
+        if not depths[r]:
+            continue
+        c1 = LM.init_cache(cfg, 1, cap)
+        hist = _emb(params, tok_hist[r, : depths[r]])[None]
+        _, c1 = LM.forward(params, jnp.asarray(hist), cfg, cache=c1)
+        for i in range(cfg.num_hidden_layers):
+            for kv in ("k", "v"):
+                cr["layers"][i][kv] = (
+                    cr["layers"][i][kv].at[r].set(c1["layers"][i][kv][0])
+                )
+    cr = {**cr, "len": jnp.asarray(depths, jnp.int32)}
+    out, cr = LM.forward(
+        params, jnp.asarray(_emb(params, new_tok)[:, None]), cfg, cache=cr
+    )
+    for r in range(b):
+        np.testing.assert_allclose(
+            np.asarray(out["logits"][r, -1]), lone_logits[r],
+            rtol=0, atol=1e-4, err_msg=f"row {r} (depth {depths[r]})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(cr["layers"][0]["k"][r]), lone_k[r],
+            rtol=0, atol=1e-5,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(cr["len"]), np.asarray(depths) + 1
+    )
+
+    # reset_streams re-admits one row without touching the others
+    cr = LM.reset_streams(cr, jnp.asarray([False, True, False]))
+    np.testing.assert_array_equal(
+        np.asarray(cr["len"]), [depths[0] + 1, 0, depths[2] + 1]
+    )
+
+
+def test_decode_engine_matches_lone_greedy(lm):
+    """4 requests with different prompt lengths over 2 slots: every
+    request's tokens equal its lone greedy_generate, across bucket
+    padding, mid-run admission into recycled slots, and idle holds."""
+    cfg, params = lm
+    rng = np.random.default_rng(1)
+    cap, max_new = 24, 5
+    lens = [3, 7, 2, 6]
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)) for n in lens]
+
+    refs = []
+    for ids in prompts:
+        toks = LM.greedy_generate(
+            params, cfg, jnp.asarray(_emb(params, ids)[None]),
+            max_new_tokens=max_new, capacity=cap,
+        )
+        refs.append(list(toks[0]))
+
+    eng = DecodeEngine(params, cfg, slots=2, capacity=cap,
+                       max_new_tokens=max_new, prefill_buckets=(4, 8))
+    sids = [eng.open(_emb(params, ids)) for ids in prompts]
+    eng.run_until_idle()
+    for sid, ref in zip(sids, refs):
+        toks, done = eng.poll(sid)
+        assert done, f"stream {sid} not finished"
+        assert toks == ref, f"stream {sid}: {toks} != {ref}"
+
+
+def test_decode_engine_eos_and_capacity(lm):
+    """EOS finishes a stream early and frees its slot for a queued
+    request; a stream hitting cache capacity is finished, not clamped."""
+    cfg, params = lm
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.vocab_size, size=(3,))
+    ref = LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, ids)[None]),
+        max_new_tokens=4, capacity=16,
+    )[0]
+
+    # pick the first generated token as "EOS": the stream must stop at 1
+    eng = DecodeEngine(params, cfg, slots=1, capacity=16,
+                       max_new_tokens=8, eos_token_id=int(ref[0]),
+                       prefill_buckets=(4,))
+    s1 = eng.open(_emb(params, ids))
+    s2 = eng.open(_emb(params, ids))  # queued behind s1
+    eng.run_until_idle()
+    t1, d1 = eng.poll(s1)
+    t2, d2 = eng.poll(s2)
+    assert d1 and t1 == [int(ref[0])]
+    assert d2 and t2 == [int(ref[0])]  # recycled slot, same prompt
+
+    # capacity finish: prompt 3 + budget 50 >> capacity 8
+    eng = DecodeEngine(params, cfg, slots=1, capacity=8,
+                       max_new_tokens=50, prefill_buckets=(4,))
+    sid = eng.open(_emb(params, ids))
+    eng.run_until_idle()
+    toks, done = eng.poll(sid)
+    assert done
+    # prefill consumed 3 rows; decodes fill the remaining 5 exactly
+    assert len(toks) == 1 + 5  # first token from prefill + 5 decodes
