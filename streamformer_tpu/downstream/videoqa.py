@@ -256,6 +256,28 @@ class LlavaQwenModel:
             loss = LM.lm_loss(out["logits"], lab)
         return out["logits"], loss
 
+    def prompt_embeds(
+        self,
+        input_ids: np.ndarray,  # (L,) prompt with IMAGE_TOKEN_INDEX
+        pixel_values: jnp.ndarray,  # (1, T, C, H, W)
+    ) -> jnp.ndarray:
+        """Exact-length (L_spliced, D) prompt embeddings — vision features
+        spliced at every IMAGE_TOKEN_INDEX. This is the request payload for
+        ``lm_serving.DecodeEngine.open`` (continuous-batching serving) and
+        the prompt for ``generate``."""
+        from streamformer_tpu.models import language_model as LM
+
+        img = self.encode_video(pixel_values)
+        t_img = int(img.shape[1])
+        # exact-length prompt: L_text - n_placeholders + n_ph * t_img
+        n_ph = int((input_ids == IMAGE_TOKEN_INDEX).sum())
+        plen = len(input_ids) - n_ph + n_ph * t_img
+        plan = build_splice_plan(input_ids, t_img, plen)
+        plan = {k: jnp.asarray(v)[None] for k, v in plan.items()}
+        safe_ids = np.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
+        text = LM.embed_tokens(self.params["lm"], jnp.asarray(safe_ids))[None]
+        return apply_splice_plan(plan, text, img)[0]
+
     def generate(
         self,
         input_ids: np.ndarray,  # (L,) prompt with IMAGE_TOKEN_INDEX
@@ -268,20 +290,11 @@ class LlavaQwenModel:
         tower consumes the new frames first (appending to its stream)."""
         from streamformer_tpu.models import language_model as LM
 
-        img = self.encode_video(pixel_values)
-        t_img = int(img.shape[1])
-        # exact-length prompt: L_text - n_placeholders + t_img
-        n_ph = int((input_ids == IMAGE_TOKEN_INDEX).sum())
-        plen = len(input_ids) - n_ph + n_ph * t_img
-        plan = build_splice_plan(input_ids, t_img, plen)
-        plan = {k: jnp.asarray(v)[None] for k, v in plan.items()}
-        safe_ids = np.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
-        text = LM.embed_tokens(self.params["lm"], jnp.asarray(safe_ids))[None]
-        embeds = apply_splice_plan(plan, text, img)
+        embeds = self.prompt_embeds(input_ids, pixel_values)[None]
         return LM.greedy_generate(
             self.params["lm"], self.lm_cfg, embeds,
             max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-            capacity=plen + max_new_tokens,
+            capacity=embeds.shape[1] + max_new_tokens,
         )
 
 

@@ -128,6 +128,53 @@ def test_decode_engine_matches_lone_greedy(lm):
         assert toks == ref, f"stream {sid}: {toks} != {ref}"
 
 
+def test_videoqa_requests_through_engine():
+    """Full VideoQA serving story: two requests with different videos and
+    prompts, spliced via prompt_embeds, served concurrently over one slot
+    pair — answers equal each request's lone model.generate."""
+    from streamformer_tpu.downstream import videoqa as VQ
+    from streamformer_tpu.downstream.vision_tower import (
+        TimesformerVisionTower,
+    )
+    from streamformer_tpu.models import encoder
+    from test_videoqa import CFG, LM_DIM, _small_lm
+
+    rng = np.random.default_rng(7)
+    lm_cfg, lm_params = _small_lm()
+    tower_params = encoder.init_params(jax.random.PRNGKey(0), CFG)
+    proj = VQ.init_mm_projector(
+        jax.random.PRNGKey(1), CFG.hidden_size, LM_DIM
+    )
+    model = VQ.LlavaQwenModel(
+        tower=TimesformerVisionTower(CFG, tower_params,
+                                     streaming_mode=False),
+        lm_cfg=lm_cfg,
+        params={"projector": proj, "lm": lm_params},
+    )
+
+    videos = [
+        jnp.asarray(rng.standard_normal((1, 4, 3, 32, 32)), jnp.float32)
+        for _ in range(2)
+    ]
+    prompts = [
+        np.array([3, VQ.IMAGE_TOKEN_INDEX, 9, 12]),
+        np.array([5, 7, VQ.IMAGE_TOKEN_INDEX, 2]),
+    ]
+    refs = [
+        list(model.generate(p, v, max_new_tokens=4)[0])
+        for p, v in zip(prompts, videos)
+    ]
+
+    eng = DecodeEngine(lm_params, lm_cfg, slots=2, capacity=32,
+                       max_new_tokens=4, prefill_buckets=(8, 16))
+    sids = [eng.open(model.prompt_embeds(p, v))
+            for p, v in zip(prompts, videos)]
+    eng.run_until_idle()
+    for sid, ref in zip(sids, refs):
+        toks, done = eng.poll(sid)
+        assert done and toks == ref, (toks, ref)
+
+
 def test_decode_engine_eos_and_capacity(lm):
     """EOS finishes a stream early and frees its slot for a queued
     request; a stream hitting cache capacity is finished, not clamped."""
