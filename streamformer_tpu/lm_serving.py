@@ -68,7 +68,8 @@ class DecodeEngine:
         self._cache = LM.init_cache(cfg, slots, capacity,
                                     per_stream_len=True)
         self._decode = self._make_decode()
-        self._prefill = {}  # bucket length -> compiled program
+        self._prefill = {}  # bucket length -> compiled chunk program
+        self._write_slot = self._make_write_slot()
         # host bookkeeping (incl. a host mirror of per-slot cache lengths,
         # so ticks never read the device)
         self._slot_sid: List[Optional[int]] = [None] * slots
@@ -99,34 +100,51 @@ class DecodeEngine:
 
         return step
 
-    def _prefill_for(self, lb: int):
+    def _chunk_for(self, lb: int):
+        """Compiled prefill chunk: append lb (end-padded) prompt positions
+        to a batch-1 scalar-length cache, roll the frontier back to the
+        true chunk length, return the next-token argmax at the chunk's
+        last valid position. Chaining these serves prompts of ANY length
+        up to the cache capacity with a bounded set of programs."""
         if lb in self._prefill:
             return self._prefill[lb]
-        cfg, cap, n_layers = self.cfg, self.capacity, self.cfg.num_hidden_layers
+        cfg = self.cfg
 
         @partial(jax.jit, donate_argnums=(2,))
-        def prefill(params, emb, cache, slot, true_len):
-            """emb (1, lb, D) end-padded; writes slot's K/V + len, returns
-            the first generated token."""
-            small = LM.init_cache(cfg, 1, cap)
+        def chunk(params, emb, small, true_lc):
             out, small = LM.forward(params, emb, cfg, cache=small)
-            tok = jnp.argmax(out["logits"][0, true_len - 1]).astype(jnp.int32)
+            # pad rows sit past the rolled-back frontier: masked for every
+            # later query, overwritten by the next chunk's append
+            small = {
+                **small,
+                "len": small["len"] - (emb.shape[1] - true_lc),
+            }
+            tok = jnp.argmax(out["logits"][0, true_lc - 1]).astype(jnp.int32)
+            return tok, small
+
+        self._prefill[lb] = chunk
+        return chunk
+
+    def _make_write_slot(self):
+        n_layers = self.cfg.num_hidden_layers
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def write_slot(small, big, slot, true_len):
             layers = []
             for i in range(n_layers):
-                big, sm = cache["layers"][i], small["layers"][i]
+                bg, sm = big["layers"][i], small["layers"][i]
                 layers.append({
                     "k": jax.lax.dynamic_update_slice(
-                        big["k"], sm["k"], (slot, 0, 0, 0)
+                        bg["k"], sm["k"], (slot, 0, 0, 0)
                     ),
                     "v": jax.lax.dynamic_update_slice(
-                        big["v"], sm["v"], (slot, 0, 0, 0)
+                        bg["v"], sm["v"], (slot, 0, 0, 0)
                     ),
                 })
-            ln = cache["len"].at[slot].set(true_len)
-            return tok, {"layers": layers, "len": ln}
+            ln = big["len"].at[slot].set(true_len)
+            return {"layers": layers, "len": ln}
 
-        self._prefill[lb] = prefill
-        return prefill
+        return write_slot
 
     # -- public API ----------------------------------------------------------
     def open(self, prompt_embeds, max_new_tokens: Optional[int] = None) -> int:
@@ -134,11 +152,11 @@ class DecodeEngine:
         optionally with vision features spliced in (VideoQA contract)."""
         emb = np.asarray(prompt_embeds)
         assert emb.ndim == 2, "prompt_embeds must be (L, D)"
-        lmax = self.buckets[-1]
-        if len(emb) > lmax:
+        if len(emb) > self.capacity:
             raise ValueError(
-                f"prompt length {len(emb)} exceeds the largest prefill "
-                f"bucket {lmax}; raise prefill_buckets/capacity"
+                f"prompt length {len(emb)} exceeds the cache capacity "
+                f"{self.capacity} (long prompts prefill in chunks, but the "
+                "whole prompt must fit the cache)"
             )
         sid = self._next_sid
         self._next_sid += 1
@@ -148,6 +166,24 @@ class DecodeEngine:
         )
         self._pending.append((sid, emb))
         return sid
+
+    def _run_prefill(self, emb: np.ndarray) -> Tuple[int, dict]:
+        """Chunked prefill on a fresh batch-1 cache; returns (first
+        generated token, filled small cache)."""
+        small = LM.init_cache(self.cfg, 1, self.capacity)
+        pos, tok = 0, None
+        lmax = self.buckets[-1]
+        while pos < len(emb):
+            piece = emb[pos : pos + lmax]
+            lc = len(piece)
+            lb = next(b for b in self.buckets if b >= lc)
+            pad = np.zeros((lb - lc, emb.shape[1]), emb.dtype)
+            embp = jnp.asarray(np.concatenate([piece, pad])[None])
+            tok, small = self._chunk_for(lb)(
+                self.params, embp, small, jnp.asarray(lc, jnp.int32)
+            )
+            pos += lc
+        return int(tok), small
 
     def _admit(self) -> int:
         """Admit pending prompts while free slots remain. Loops so a
@@ -163,17 +199,15 @@ class DecodeEngine:
                 break
             sid, emb = self._pending.popleft()
             true_len = len(emb)
-            lb = next(b for b in self.buckets if b >= true_len)
-            pad = np.zeros((lb - true_len, emb.shape[1]), emb.dtype)
-            embp = jnp.asarray(np.concatenate([emb, pad])[None])
-            tok, self._cache = self._prefill_for(lb)(
-                self.params, embp, self._cache,
+            tok, small = self._run_prefill(emb)
+            self._cache = self._write_slot(
+                small, self._cache,
                 jnp.asarray(s, jnp.int32), jnp.asarray(true_len, jnp.int32),
             )
             self._slot_sid[s] = sid
-            self._last_tok[s] = int(tok)
+            self._last_tok[s] = tok
             self._host_len[s] = true_len
-            self._emit(s, int(tok))
+            self._emit(s, tok)
             n += 1
         return n
 

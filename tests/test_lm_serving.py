@@ -128,6 +128,28 @@ def test_decode_engine_matches_lone_greedy(lm):
         assert toks == ref, f"stream {sid}: {toks} != {ref}"
 
 
+def test_chunked_prefill_matches_lone_greedy(lm):
+    """A prompt longer than the largest prefill bucket is prefetched in
+    chained chunks (frontier rolled back past each chunk's padding) and
+    still matches the lone one-shot greedy_generate."""
+    cfg, params = lm
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, cfg.vocab_size, size=(11,))  # 3 chunks of <=4
+    ref = list(LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, ids)[None]),
+        max_new_tokens=4, capacity=24,
+    )[0])
+    eng = DecodeEngine(params, cfg, slots=1, capacity=24,
+                       max_new_tokens=4, prefill_buckets=(4,))
+    sid = eng.open(_emb(params, ids))
+    eng.run_until_idle()
+    toks, done = eng.poll(sid)
+    assert done and toks == ref, (toks, ref)
+
+    with pytest.raises(ValueError, match="capacity"):
+        eng.open(np.zeros((25, cfg.hidden_size), np.float32))
+
+
 def test_videoqa_requests_through_engine():
     """Full VideoQA serving story: two requests with different videos and
     prompts, spliced via prompt_embeds, served concurrently over one slot
