@@ -56,13 +56,27 @@ class DecodeEngine:
         max_new_tokens: int = 128,
         eos_token_id: Optional[int] = None,
         prefill_buckets: Sequence[int] = (32, 64, 128, 256),
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
     ):
+        """``temperature=0`` (default) decodes greedily. With
+        ``temperature>0``, tokens are sampled from the tempered softmax,
+        optionally truncated by ``top_k`` and/or nucleus ``top_p``.
+        Sampling is reproducible PER REQUEST: the key is
+        fold_in(fold_in(seed, sid), n_generated), independent of slot
+        placement or what else is in flight."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.capacity = capacity
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
+        self.temperature = float(temperature)
+        self.top_k = top_k
+        self.top_p = top_p
+        self._base_key = jax.random.PRNGKey(seed)
         self.buckets = sorted(b for b in prefill_buckets if b <= capacity)
         assert self.buckets, "no prefill bucket fits the capacity"
         self._cache = LM.init_cache(cfg, slots, capacity,
@@ -75,6 +89,7 @@ class DecodeEngine:
         self._slot_sid: List[Optional[int]] = [None] * slots
         self._last_tok = np.zeros(slots, np.int32)
         self._host_len = np.zeros(slots, np.int64)
+        self._host_gen = np.zeros(slots, np.int32)  # tokens sampled so far
         self._pending: deque = deque()  # (sid, embeds, max_new)
         self._results: Dict[int, list] = {}
         self._done: set = set()
@@ -82,11 +97,45 @@ class DecodeEngine:
         self._next_sid = 0
 
     # -- compiled programs --------------------------------------------------
+    def _select_fn(self):
+        """(logits (V,), key) -> token, per the engine's sampling config.
+        Trace-time branches only — greedy engines never touch the RNG."""
+        temp, top_k, top_p = self.temperature, self.top_k, self.top_p
+
+        def select(logits, key):
+            if temp <= 0.0:
+                return jnp.argmax(logits).astype(jnp.int32)
+            l = logits.astype(jnp.float32) / temp
+            if top_k is not None:
+                kth = jax.lax.top_k(l, top_k)[0][-1]
+                l = jnp.where(l < kth, -jnp.inf, l)
+            if top_p is not None:
+                srt = jnp.sort(l)[::-1]
+                probs = jax.nn.softmax(srt)
+                cum = jnp.cumsum(probs)
+                # keep the smallest prefix with cumulative mass >= top_p
+                # (the first token crossing the threshold stays in)
+                cut = jnp.sum(cum - probs < top_p)  # number kept
+                thresh = srt[jnp.maximum(cut - 1, 0)]
+                l = jnp.where(l < thresh, -jnp.inf, l)
+            return jax.random.categorical(key, l).astype(jnp.int32)
+
+        return select
+
+    def _keys(self, sids, counts):
+        """Per-request keys inside jit: fold_in(fold_in(seed, sid), n)."""
+        base = self._base_key
+
+        def one(s, n):
+            return jax.random.fold_in(jax.random.fold_in(base, s), n)
+
+        return jax.vmap(one)(sids, counts)
+
     def _make_decode(self):
-        cfg = self.cfg
+        cfg, select, keys_of = self.cfg, self._select_fn(), self._keys
 
         @partial(jax.jit, donate_argnums=(2,))
-        def step(params, toks, cache, active):
+        def step(params, toks, cache, active, sids, counts):
             emb = LM.embed_tokens(params, toks)[:, None]  # (S, 1, D)
             out, cache = LM.forward(params, emb, cfg, cache=cache)
             # hold idle slots: the dummy row just written is rolled back
@@ -95,7 +144,9 @@ class DecodeEngine:
                 **cache,
                 "len": jnp.where(active, cache["len"], cache["len"] - 1),
             }
-            ntok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+            ntok = jax.vmap(select)(
+                out["logits"][:, -1], keys_of(sids, counts)
+            )
             return ntok, cache
 
         return step
@@ -110,8 +161,10 @@ class DecodeEngine:
             return self._prefill[lb]
         cfg = self.cfg
 
+        select, keys_of = self._select_fn(), self._keys
+
         @partial(jax.jit, donate_argnums=(2,))
-        def chunk(params, emb, small, true_lc):
+        def chunk(params, emb, small, true_lc, sid):
             out, small = LM.forward(params, emb, cfg, cache=small)
             # pad rows sit past the rolled-back frontier: masked for every
             # later query, overwritten by the next chunk's append
@@ -119,7 +172,10 @@ class DecodeEngine:
                 **small,
                 "len": small["len"] - (emb.shape[1] - true_lc),
             }
-            tok = jnp.argmax(out["logits"][0, true_lc - 1]).astype(jnp.int32)
+            tok = jax.vmap(select)(
+                out["logits"][0, true_lc - 1][None],
+                keys_of(sid[None], jnp.zeros((1,), jnp.int32)),
+            )[0]
             return tok, small
 
         self._prefill[lb] = chunk
@@ -167,7 +223,7 @@ class DecodeEngine:
         self._pending.append((sid, emb))
         return sid
 
-    def _run_prefill(self, emb: np.ndarray) -> Tuple[int, dict]:
+    def _run_prefill(self, sid: int, emb: np.ndarray) -> Tuple[int, dict]:
         """Chunked prefill on a fresh batch-1 cache; returns (first
         generated token, filled small cache)."""
         small = LM.init_cache(self.cfg, 1, self.capacity)
@@ -180,7 +236,8 @@ class DecodeEngine:
             pad = np.zeros((lb - lc, emb.shape[1]), emb.dtype)
             embp = jnp.asarray(np.concatenate([piece, pad])[None])
             tok, small = self._chunk_for(lb)(
-                self.params, embp, small, jnp.asarray(lc, jnp.int32)
+                self.params, embp, small, jnp.asarray(lc, jnp.int32),
+                jnp.asarray(sid, jnp.int32),
             )
             pos += lc
         return int(tok), small
@@ -199,7 +256,7 @@ class DecodeEngine:
                 break
             sid, emb = self._pending.popleft()
             true_len = len(emb)
-            tok, small = self._run_prefill(emb)
+            tok, small = self._run_prefill(sid, emb)
             self._cache = self._write_slot(
                 small, self._cache,
                 jnp.asarray(s, jnp.int32), jnp.asarray(true_len, jnp.int32),
@@ -207,6 +264,7 @@ class DecodeEngine:
             self._slot_sid[s] = sid
             self._last_tok[s] = tok
             self._host_len[s] = true_len
+            self._host_gen[s] = 1  # the prefill token used key n=0
             self._emit(s, tok)
             n += 1
         return n
@@ -237,13 +295,19 @@ class DecodeEngine:
             return admitted > 0  # prefill-only tick still made progress
         active = np.zeros(self.slots, bool)
         active[active_slots] = True
+        sids = np.asarray(
+            [sid if sid is not None else 0 for sid in self._slot_sid],
+            np.int32,
+        )
         toks, self._cache = self._decode(
             self.params, jnp.asarray(self._last_tok), self._cache,
-            jnp.asarray(active),
+            jnp.asarray(active), jnp.asarray(sids),
+            jnp.asarray(self._host_gen),
         )
         toks = np.asarray(toks)
         for s in active_slots:
             self._host_len[s] += 1
+            self._host_gen[s] += 1
             self._last_tok[s] = toks[s]
             self._emit(s, int(toks[s]))
         return True

@@ -197,6 +197,51 @@ def test_videoqa_requests_through_engine():
         assert done and toks == ref, (toks, ref)
 
 
+def test_sampling_reproducible_and_slot_independent(lm):
+    """temperature>0: a request's sampled tokens depend only on
+    (seed, sid, n) — the SAME request sampled alone or packed with
+    neighbours yields identical tokens; top_k=1 equals greedy."""
+    cfg, params = lm
+    rng = np.random.default_rng(5)
+    lens = [3, 5, 4]
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)) for n in lens]
+    kw = dict(capacity=24, max_new_tokens=5, prefill_buckets=(8,),
+              temperature=0.8, seed=11)
+
+    # packed: 3 requests over 2 slots
+    eng = DecodeEngine(params, cfg, slots=2, **kw)
+    sids = [eng.open(_emb(params, p)) for p in prompts]
+    eng.run_until_idle()
+    packed = [eng.poll(sid)[0] for sid in sids]
+
+    # lone: each request in its own engine, same sid (opened in order)
+    for i, p in enumerate(prompts):
+        lone = DecodeEngine(params, cfg, slots=1, **kw)
+        for _ in range(i):  # burn sids so this request gets sid=i
+            ghost = lone.open(_emb(params, prompts[0]))
+            lone._pending.clear()  # never served; only the sid mattered
+        sid = lone.open(_emb(params, p))
+        assert sid == i
+        lone.run_until_idle()
+        toks, done = lone.poll(sid)
+        assert done and toks == packed[i], (i, toks, packed[i])
+
+    # sampled output actually varies across requests (not degenerate)
+    assert len({tuple(t) for t in packed}) > 1
+
+    # top_k=1 at any temperature is greedy
+    ref = list(LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, prompts[0])[None]),
+        max_new_tokens=5, capacity=24,
+    )[0])
+    eng = DecodeEngine(params, cfg, slots=1, capacity=24, max_new_tokens=5,
+                       prefill_buckets=(8,), temperature=0.7, top_k=1)
+    sid = eng.open(_emb(params, prompts[0]))
+    eng.run_until_idle()
+    toks, _ = eng.poll(sid)
+    assert toks == ref
+
+
 def test_decode_engine_eos_and_capacity(lm):
     """EOS finishes a stream early and frees its slot for a queued
     request; a stream hitting cache capacity is finished, not clamped."""
