@@ -60,6 +60,7 @@ class DecodeEngine:
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         seed: int = 0,
+        cache_dtype: Optional[str] = None,
     ):
         """``temperature=0`` (default) decodes greedily. With
         ``temperature>0``, tokens are sampled from the tempered softmax,
@@ -77,10 +78,12 @@ class DecodeEngine:
         self.top_k = top_k
         self.top_p = top_p
         self._base_key = jax.random.PRNGKey(seed)
+        self.cache_dtype = cache_dtype  # None | "int8" (half the KV HBM)
         self.buckets = sorted(b for b in prefill_buckets if b <= capacity)
         assert self.buckets, "no prefill bucket fits the capacity"
         self._cache = LM.init_cache(cfg, slots, capacity,
-                                    per_stream_len=True)
+                                    per_stream_len=True,
+                                    cache_dtype=cache_dtype)
         self._decode = self._make_decode()
         self._prefill = {}  # bucket length -> compiled chunk program
         self._write_slot = self._make_write_slot()
@@ -190,12 +193,11 @@ class DecodeEngine:
             for i in range(n_layers):
                 bg, sm = big["layers"][i], small["layers"][i]
                 layers.append({
-                    "k": jax.lax.dynamic_update_slice(
-                        bg["k"], sm["k"], (slot, 0, 0, 0)
-                    ),
-                    "v": jax.lax.dynamic_update_slice(
-                        bg["v"], sm["v"], (slot, 0, 0, 0)
-                    ),
+                    key: jax.lax.dynamic_update_slice(
+                        bg[key], sm[key],
+                        (slot,) + (0,) * (bg[key].ndim - 1),
+                    )
+                    for key in bg  # k/v (+ k_scale/v_scale when int8)
                 })
             ln = big["len"].at[slot].set(true_len)
             return {"layers": layers, "len": ln}
@@ -226,7 +228,8 @@ class DecodeEngine:
     def _run_prefill(self, sid: int, emb: np.ndarray) -> Tuple[int, dict]:
         """Chunked prefill on a fresh batch-1 cache; returns (first
         generated token, filled small cache)."""
-        small = LM.init_cache(self.cfg, 1, self.capacity)
+        small = LM.init_cache(self.cfg, 1, self.capacity,
+                              cache_dtype=self.cache_dtype)
         pos, tok = 0, None
         lmax = self.buckets[-1]
         while pos < len(emb):

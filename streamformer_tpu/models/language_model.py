@@ -126,12 +126,19 @@ def _dense(x, p):
 
 
 def init_cache(
-    cfg: LMConfig, batch: int, capacity: int, per_stream_len: bool = False
+    cfg: LMConfig,
+    batch: int,
+    capacity: int,
+    per_stream_len: bool = False,
+    cache_dtype: Optional[str] = None,
 ) -> Params:
     """Fixed-capacity KV cache. ``per_stream_len=True`` makes ``len`` a
     (batch,) vector so every row decodes at its own position — the ragged
     continuous-batching form (same design as the video encoder's ragged
-    cache; the torch reference's DynamicCache is lockstep-only)."""
+    cache; the torch reference's DynamicCache is lockstep-only).
+    ``cache_dtype="int8"`` stores K/V symmetric-quantized per
+    (row, position, kv-head) with float32 scales — half the HBM footprint,
+    which is the capacity limit for a 7B tower on 16 GB chips."""
     dt = jnp.dtype(cfg.dtype)
     shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
     ln = (
@@ -139,11 +146,18 @@ def init_cache(
         if per_stream_len
         else jnp.zeros((), jnp.int32)
     )
+    if cache_dtype == "int8":
+        layer = lambda: {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    else:
+        assert cache_dtype is None, cache_dtype
+        layer = lambda: {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
     return {
-        "layers": [
-            {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
-            for _ in range(cfg.num_hidden_layers)
-        ],
+        "layers": [layer() for _ in range(cfg.num_hidden_layers)],
         "len": ln,
     }
 
@@ -194,28 +208,42 @@ def forward(
         k = _rope(k, positions, cfg.rope_theta)
 
         if cache is not None:
-            if ragged:
-                # per-row append: vmapped DUS with per-stream start rows
-                ck = jax.vmap(
-                    lambda c, new, s: jax.lax.dynamic_update_slice(
-                        c, new, (s, 0, 0)
-                    )
-                )(cache["layers"][i]["k"], k.astype(dt), start)
-                cv = jax.vmap(
-                    lambda c, new, s: jax.lax.dynamic_update_slice(
-                        c, new, (s, 0, 0)
-                    )
-                )(cache["layers"][i]["v"], v.astype(dt), start)
+            quantized = "k_scale" in cache["layers"][i]
+
+            def append(planes, new):
+                """DUS along the position axis; per-row starts if ragged."""
+                if ragged:
+                    return jax.vmap(
+                        lambda c, nw, s: jax.lax.dynamic_update_slice(
+                            c, nw, (s,) + (0,) * (c.ndim - 1)
+                        )
+                    )(planes, new, start)
+                return jax.lax.dynamic_update_slice(
+                    planes, new, (0, start) + (0,) * (planes.ndim - 2)
+                )
+
+            if quantized:
+                from streamformer_tpu.models.encoder import (
+                    dequantize_kv, quantize_kv,
+                )
+
+                kq, ks = quantize_kv(k)  # (B, l, hkv) scales over dh
+                vq, vs = quantize_kv(v)
+                lay = {
+                    "k": append(cache["layers"][i]["k"], kq),
+                    "v": append(cache["layers"][i]["v"], vq),
+                    "k_scale": append(cache["layers"][i]["k_scale"], ks),
+                    "v_scale": append(cache["layers"][i]["v_scale"], vs),
+                }
+                new_layers.append(lay)
+                k_att = dequantize_kv(lay["k"], lay["k_scale"], dt)
+                v_att = dequantize_kv(lay["v"], lay["v_scale"], dt)
             else:
-                ck = jax.lax.dynamic_update_slice(
-                    cache["layers"][i]["k"], k.astype(dt), (0, start, 0, 0)
-                )
-                cv = jax.lax.dynamic_update_slice(
-                    cache["layers"][i]["v"], v.astype(dt), (0, start, 0, 0)
-                )
-            new_layers.append({"k": ck, "v": cv})
-            k_att, v_att = ck, cv
-            kl = ck.shape[1]
+                ck = append(cache["layers"][i]["k"], k.astype(dt))
+                cv = append(cache["layers"][i]["v"], v.astype(dt))
+                new_layers.append({"k": ck, "v": cv})
+                k_att, v_att = ck, cv
+            kl = k_att.shape[1]
             kpos = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 1)
             qoff = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 0)
             if ragged:

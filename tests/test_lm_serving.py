@@ -242,6 +242,41 @@ def test_sampling_reproducible_and_slot_independent(lm):
     assert toks == ref
 
 
+def test_int8_kv_cache(lm):
+    """cache_dtype="int8": half-footprint KV. Step logits stay close to
+    the fp cache (per-row absmax keeps cosine > 0.999) and the engine
+    end-to-end tracks the fp engine's greedy tokens on a toy model."""
+    cfg, params = lm
+    rng = np.random.default_rng(6)
+    cap = 16
+    hist = rng.integers(0, cfg.vocab_size, size=(2, 6))
+    new = rng.integers(0, cfg.vocab_size, size=(2,))
+
+    def run(cache_dtype):
+        c = LM.init_cache(cfg, 2, cap, per_stream_len=True,
+                          cache_dtype=cache_dtype)
+        _, c = LM.forward(params, jnp.asarray(_emb(params, hist[0])[None]
+                          .repeat(2, 0)), cfg, cache=c)
+        out, _ = LM.forward(params, jnp.asarray(_emb(params, new)[:, None]),
+                            cfg, cache=c)
+        return np.asarray(out["logits"][:, -1])
+
+    fp, q = run(None), run("int8")
+    cos = (fp * q).sum() / (np.linalg.norm(fp) * np.linalg.norm(q))
+    assert cos > 0.999, cos
+
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)) for n in (3, 5)]
+    outs = {}
+    for cd in (None, "int8"):
+        eng = DecodeEngine(params, cfg, slots=2, capacity=cap,
+                           max_new_tokens=4, prefill_buckets=(8,),
+                           cache_dtype=cd)
+        sids = [eng.open(_emb(params, p)) for p in prompts]
+        eng.run_until_idle()
+        outs[cd] = [eng.poll(sid)[0] for sid in sids]
+    assert outs["int8"] == outs[None], outs
+
+
 def test_decode_engine_eos_and_capacity(lm):
     """EOS finishes a stream early and frees its slot for a queued
     request; a stream hitting cache capacity is finished, not clamped."""
