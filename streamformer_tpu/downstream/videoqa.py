@@ -259,7 +259,8 @@ class LlavaQwenModel:
     def prompt_embeds(
         self,
         input_ids: np.ndarray,  # (L,) prompt with IMAGE_TOKEN_INDEX
-        pixel_values: jnp.ndarray,  # (1, T, C, H, W)
+        pixel_values: Optional[jnp.ndarray],  # (1,T,C,H,W); None = reuse
+        # the streaming tower's held context (no new frames)
     ) -> jnp.ndarray:
         """Exact-length (L_spliced, D) prompt embeddings — vision features
         spliced at every IMAGE_TOKEN_INDEX. This is the request payload for

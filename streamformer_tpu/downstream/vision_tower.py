@@ -90,10 +90,21 @@ class TimesformerVisionTower:
         x = (x - 0.5) / 0.5
         return T.to_model_input(x)
 
-    def forward(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    def forward(self, pixel_values) -> jnp.ndarray:
         """(B, T_new, C, H, W) -> (B, t_ctx, N, D) patch features
         (``select_feature='patch'``) with t_ctx = min(total, context_length)
-        (reference forward :1532-1544)."""
+        (reference forward :1532-1544). ``None`` returns the held streaming
+        context without consuming new frames (the reference's
+        generate(images=None)-after-streaming contract)."""
+        if pixel_values is None:
+            if not self.streaming_mode or self._history is None:
+                raise ValueError(
+                    "pixel_values=None reuses the streaming context, but "
+                    + ("the tower is not in streaming mode"
+                       if not self.streaming_mode
+                       else "no frames have been streamed yet")
+                )
+            return self._history
         b = pixel_values.shape[0]
         px = pixel_values.astype(jnp.dtype(self.cfg.dtype))
         if not self.streaming_mode:

@@ -187,14 +187,18 @@ class DecodeEngine:
     def _make_write_slot(self):
         n_layers = self.cfg.num_hidden_layers
 
+        cap = self.capacity
+
         @partial(jax.jit, donate_argnums=(1,))
         def write_slot(small, big, slot, true_len):
             layers = []
             for i in range(n_layers):
                 bg, sm = big["layers"][i], small["layers"][i]
                 layers.append({
+                    # the prefill cache carries one bucket of overhang
+                    # headroom; only the slot's capacity-many rows land
                     key: jax.lax.dynamic_update_slice(
-                        bg[key], sm[key],
+                        bg[key], sm[key][:, :cap],
                         (slot,) + (0,) * (bg[key].ndim - 1),
                     )
                     for key in bg  # k/v (+ k_scale/v_scale when int8)
@@ -228,7 +232,12 @@ class DecodeEngine:
     def _run_prefill(self, sid: int, emb: np.ndarray) -> Tuple[int, dict]:
         """Chunked prefill on a fresh batch-1 cache; returns (first
         generated token, filled small cache)."""
-        small = LM.init_cache(self.cfg, 1, self.capacity,
+        # headroom of one bucket past capacity: the LAST chunk's padded
+        # append may overhang (pos + lb > capacity), and a capacity-sized
+        # cache would let dynamic_update_slice CLAMP the start, silently
+        # relocating the chunk over valid rows. write_slot copies only the
+        # first `capacity` positions, so the overhang rows never escape.
+        small = LM.init_cache(self.cfg, 1, self.capacity + self.buckets[-1],
                               cache_dtype=self.cache_dtype)
         pos, tok = 0, None
         lmax = self.buckets[-1]
@@ -282,16 +291,18 @@ class DecodeEngine:
             self._slot_sid[s] = None
 
     def tick(self) -> bool:
-        """Admit pending prompts, then decode every occupied slot one
-        token. Returns False when idle."""
-        admitted = self._admit()
-        # capacity guard BEFORE the step: a row at the frontier cannot take
-        # another token (the append would clamp onto the last row)
+        """Retire capacity-full slots, admit pending prompts, then decode
+        every occupied slot one token. Returns False when idle."""
+        # capacity guard FIRST (a frontier row cannot take another token —
+        # the append would clamp onto the last row) so the freed slot is
+        # available to _admit within this same tick; retiring after
+        # admission can otherwise report idle with requests still queued
         for s in range(self.slots):
             if (self._slot_sid[s] is not None
                     and self._host_len[s] >= self.capacity):
                 self._done.add(self._slot_sid[s])
                 self._slot_sid[s] = None
+        admitted = self._admit()
         active_slots = [s for s in range(self.slots)
                         if self._slot_sid[s] is not None]
         if not active_slots:
@@ -316,13 +327,22 @@ class DecodeEngine:
         return True
 
     def poll(self, sid: int) -> Tuple[List[int], bool]:
-        """(new tokens since last poll, finished?)."""
-        out = self._results.get(sid, [])
-        self._results[sid] = []
+        """(new tokens since last poll, finished?).
+
+        Bookkeeping is reclaimed on the poll that observes completion —
+        the engine stays O(live requests); a reclaimed id keeps answering
+        ([], True) by absence."""
+        assert 0 <= sid < self._next_sid, f"unknown request {sid}"
+        if sid not in self._results:  # reclaimed: finished earlier
+            return [], True
+        out = self._results[sid]
         done = sid in self._done
-        if done and not out:
-            self._results.pop(sid, None)
+        if done:
+            self._results.pop(sid)
             self._budget.pop(sid, None)
+            self._done.discard(sid)
+        else:
+            self._results[sid] = []
         return out, done
 
     def run_until_idle(self, max_ticks: int = 100_000) -> int:

@@ -242,6 +242,43 @@ def test_sampling_reproducible_and_slot_independent(lm):
     assert toks == ref
 
 
+def test_prefill_overhang_and_capacity_stranding(lm):
+    """Two regressions: (1) a final prefill chunk whose bucket padding
+    overhangs the capacity must not clamp-relocate K/V over valid rows
+    (prompt 9, buckets of 4, capacity 10: the last chunk pads 8->12);
+    (2) a capacity-finish that frees the last slot must hand it to queued
+    requests in the SAME tick — run_until_idle may not strand them."""
+    cfg, params = lm
+    rng = np.random.default_rng(8)
+
+    ids = rng.integers(0, cfg.vocab_size, size=(9,))
+    ref = list(LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, ids)[None]),
+        max_new_tokens=1, capacity=10,
+    )[0])
+    eng = DecodeEngine(params, cfg, slots=1, capacity=10,
+                       max_new_tokens=1, prefill_buckets=(4,))
+    sid = eng.open(_emb(params, ids))
+    eng.run_until_idle()
+    toks, done = eng.poll(sid)
+    assert done and toks == ref, (toks, ref)
+
+    short = rng.integers(0, cfg.vocab_size, size=(3,))
+    eng = DecodeEngine(params, cfg, slots=1, capacity=8,
+                       max_new_tokens=50, prefill_buckets=(4,))
+    a = eng.open(_emb(params, short))
+    b = eng.open(_emb(params, short))  # queued behind a
+    eng.run_until_idle()
+    ta, da = eng.poll(a)
+    tb, db = eng.poll(b)
+    assert da and len(ta) == 6  # capacity-finished: 1 prefill + 5 decodes
+    assert db and tb == ta  # same prompt, served after a's capacity finish
+    # reclaimed ids keep answering ([], True); unknown ids assert
+    assert eng.poll(a) == ([], True)
+    with pytest.raises(AssertionError, match="unknown request"):
+        eng.poll(99)
+
+
 def test_int8_kv_cache(lm):
     """cache_dtype="int8": half-footprint KV. Step logits stay close to
     the fp cache (per-row absmax keeps cosine > 0.999) and the engine

@@ -112,6 +112,11 @@ def test_llava_full_path_streaming_generation_contract(rng):
 
     # 1) feed frames 0..7, generate (uses context of 8 frames)
     a1 = model.generate(prompt, video[:, :8], max_new_tokens=5)
+    # pixel_values=None reuses the streaming context without new frames:
+    # same 8-frame history -> identical answer (reference
+    # generate(images=None)-after-streaming contract)
+    a1b = model.generate(prompt, None, max_new_tokens=5)
+    np.testing.assert_array_equal(a1, a1b)
     # 2) continue the stream with frames 8..15 (cache carries 0..7)
     a2 = model.generate(prompt, video[:, 8:], max_new_tokens=5)
     # 3) fresh encode of the full clip
