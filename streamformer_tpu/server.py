@@ -36,43 +36,25 @@ import numpy as np
 from .config import StreamformerConfig
 from .serving import StreamingEngine
 
-__all__ = ["StreamingServer"]
+__all__ = ["StreamingServer", "DecodeServer"]
 
 
 class _EngineActor:
-    """Single-threaded executor owning the engine: every call runs on one
-    worker thread, preserving the one-dispatch-thread rule."""
+    """Single-threaded executor owning an engine: every call runs on one
+    worker thread, preserving the one-dispatch-thread rule.
 
-    def __init__(self, engine: StreamingEngine):
+    ``has_work`` decides whether ``engine.tick()`` would make progress —
+    it must be precise (no false positives) or the actor busy-spins on
+    no-op ticks."""
+
+    def __init__(self, engine, has_work: Callable[[], bool]):
         self._engine = engine
+        self._has_work = has_work
         self._q: "queue.Queue" = queue.Queue()
         self._stop = object()
         self._fatal: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
-
-    def _has_work(self) -> bool:
-        """True iff tick() would actually feed a frame — mirrors the
-        engine's admission rules so the actor never spins on no-op ticks
-        (e.g. a stream opened but not yet fed)."""
-        e = self._engine
-        if any(sid is not None and e._queues.get(sid)
-               for sid in e._slot_sid):
-            return True
-        slot_free = any(
-            sid is None or sid not in e._queues
-            or (sid in e._closed and not e._queues[sid])
-            for sid in e._slot_sid
-        )
-        if not slot_free:
-            return False
-        for h in e._pending:  # effective FIFO head decides admission
-            if h not in e._queues or (
-                h in e._closed and not e._queues[h]
-            ):
-                continue
-            return bool(e._queues[h])
-        return False
 
     def _run(self):
         while True:
@@ -173,8 +155,31 @@ class StreamingServer:
             "slots_occupied": sum(s is not None for s in e._slot_sid),
         }
 
+    def _tick_has_work(self) -> bool:
+        """True iff tick() would actually feed a frame — mirrors the
+        engine's admission rules so the actor never spins on no-op ticks
+        (e.g. a stream opened but not yet fed)."""
+        e = self._engine
+        if any(sid is not None and e._queues.get(sid)
+               for sid in e._slot_sid):
+            return True
+        slot_free = any(
+            sid is None or sid not in e._queues
+            or (sid in e._closed and not e._queues[sid])
+            for sid in e._slot_sid
+        )
+        if not slot_free:
+            return False
+        for h in e._pending:  # effective FIFO head decides admission
+            if h not in e._queues or (
+                h in e._closed and not e._queues[h]
+            ):
+                continue
+            return bool(e._queues[h])
+        return False
+
     def start(self):
-        self._actor = _EngineActor(self._engine)
+        self._actor = _EngineActor(self._engine, self._tick_has_work)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -256,6 +261,135 @@ class StreamingServer:
                         if leaf == "close":
                             server._actor.call(server._op_close, sid)
                             return self._json(200, {"ok": True})
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+                self._json(404, {"error": f"no route {self.path}"})
+
+        self._httpd = ThreadingHTTPServer((self._host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._actor is not None:
+            self._actor.shutdown()
+
+
+class DecodeServer:
+    """Serve LM generation (lm_serving.DecodeEngine) over HTTP.
+
+    Routes (JSON; prompt embeddings as base64 float32 (L, D) — build them
+    with ``LlavaQwenModel.prompt_embeds`` for the vision-spliced case):
+
+        POST /requests  {"embeds_b64","shape","dtype"?,"max_new_tokens"?}
+                                            -> {"rid": int}
+        GET  /requests/<rid>/tokens         -> {"tokens": [...], "done"}
+        GET  /healthz                       -> {"ok", "slots", occupancy}
+
+    Same single-dispatch-thread actor design as StreamingServer.
+    """
+
+    def __init__(self, params, lm_cfg, host: str = "127.0.0.1",
+                 port: int = 0, **engine_kw):
+        from .lm_serving import DecodeEngine
+
+        self._engine = DecodeEngine(params, lm_cfg, **engine_kw)
+        self._actor: Optional[_EngineActor] = None
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._host, self.port = host, port
+        self._serve_thread: Optional[threading.Thread] = None
+
+    def _tick_has_work(self) -> bool:
+        e = self._engine
+        return bool(e._pending) or any(
+            sid is not None for sid in e._slot_sid
+        )
+
+    @staticmethod
+    def _op_open(e, emb, max_new):
+        return e.open(emb, max_new_tokens=max_new)
+
+    @staticmethod
+    def _op_poll(e, rid):
+        return e.poll(rid)
+
+    @staticmethod
+    def _op_stats(e):
+        return {
+            "slots_occupied": sum(s is not None for s in e._slot_sid),
+            "pending": len(e._pending),
+        }
+
+    def start(self):
+        self._actor = _EngineActor(self._engine, self._tick_has_work)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_POST(self):
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    if parts == ["requests"]:
+                        b = self._body()
+                        raw = base64.b64decode(b["embeds_b64"])
+                        emb = np.frombuffer(
+                            raw, dtype=np.dtype(b.get("dtype", "float32"))
+                        ).reshape(b["shape"])
+                        rid = server._actor.call(
+                            server._op_open, emb, b.get("max_new_tokens")
+                        )
+                        return self._json(200, {"rid": rid})
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+                self._json(404, {"error": f"no route {self.path}"})
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    if parts == ["healthz"]:
+                        try:
+                            stats = server._actor.call(server._op_stats)
+                        except RuntimeError as e:
+                            return self._json(
+                                503, {"ok": False, "error": str(e)}
+                            )
+                        return self._json(
+                            200, {"ok": True,
+                                  "slots": server._engine.slots, **stats}
+                        )
+                    if (len(parts) == 3 and parts[0] == "requests"
+                            and parts[2] == "tokens"):
+                        try:
+                            rid = int(parts[1])
+                        except ValueError:
+                            return self._json(
+                                404, {"error": f"no route {self.path}"}
+                            )
+                        toks, done = server._actor.call(server._op_poll, rid)
+                        return self._json(
+                            200, {"tokens": [int(t) for t in toks],
+                                  "done": bool(done)}
+                        )
                 except Exception as e:
                     return self._json(400, {"error": str(e)})
                 self._json(404, {"error": f"no route {self.path}"})

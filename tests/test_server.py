@@ -66,7 +66,7 @@ def test_http_server_end_to_end(params):
             _req(srv.port, "POST", f"/streams/{sid}/close")
             sids.append(sid)
 
-        got = {}
+        got, acc = {}, {}
         deadline = time.time() + 120
         while len(got) < len(sids) and time.time() < deadline:
             for sid in sids:
@@ -78,11 +78,11 @@ def test_http_server_end_to_end(params):
                 feats = np.asarray(r["features"], np.float32).reshape(
                     -1, CFG.hidden_size
                 )
-                prev = got.get((sid, "acc"))
-                acc = feats if prev is None else np.concatenate([prev, feats])
-                got[(sid, "acc")] = acc
+                prev = acc.get(sid)
+                acc[sid] = (feats if prev is None
+                            else np.concatenate([prev, feats]))
                 if r["done"]:
-                    got[sid] = acc
+                    got[sid] = acc[sid]
             time.sleep(0.05)
 
         for sid, clip in zip(sids, clips):
@@ -91,6 +91,68 @@ def test_http_server_end_to_end(params):
                 got[sid], lone_stream(params, clip), rtol=0, atol=1e-5,
                 err_msg=f"stream {sid}",
             )
+    finally:
+        srv.stop()
+
+
+def test_decode_server_end_to_end():
+    """LM generation over HTTP: two requests with different prompts served
+    concurrently match their lone greedy_generate answers; healthz reports
+    occupancy."""
+    from streamformer_tpu.models import language_model as LM
+    from streamformer_tpu.server import DecodeServer
+    from test_language_model import SMALL as LM_CFG
+
+    lm_params = LM.init_params(jax.random.PRNGKey(4), LM_CFG)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, LM_CFG.vocab_size, size=(n,))
+               for n in (3, 6)]
+
+    def emb(ids):
+        import jax.numpy as jnp
+        return np.asarray(
+            LM.embed_tokens(lm_params, jnp.asarray(ids)), np.float32
+        )
+
+    refs = []
+    for ids in prompts:
+        import jax.numpy as jnp
+        refs.append([int(t) for t in LM.greedy_generate(
+            lm_params, LM_CFG, jnp.asarray(emb(ids)[None]),
+            max_new_tokens=4, capacity=24,
+        )[0]])
+
+    srv = DecodeServer(lm_params, LM_CFG, port=0, slots=2, capacity=24,
+                       max_new_tokens=4, prefill_buckets=(8,)).start()
+    try:
+        h = _req(srv.port, "GET", "/healthz")
+        assert h["ok"] and h["slots"] == 2
+
+        rids = []
+        for ids in prompts:
+            e = emb(ids)
+            r = _req(srv.port, "POST", "/requests", {
+                "embeds_b64": base64.b64encode(
+                    np.ascontiguousarray(e).tobytes()).decode(),
+                "shape": list(e.shape),
+            })
+            rids.append(r["rid"])
+
+        got, acc = {}, {}
+        deadline = time.time() + 120
+        while len(got) < len(rids) and time.time() < deadline:
+            for rid in rids:
+                if rid in got:
+                    continue
+                r = _req(srv.port, "GET", f"/requests/{rid}/tokens")
+                acc[rid] = acc.get(rid, []) + r["tokens"]
+                if r["done"]:
+                    got[rid] = acc[rid]
+            time.sleep(0.05)
+
+        for rid, ref in zip(rids, refs):
+            assert rid in got, f"request {rid} never finished"
+            assert got[rid] == ref, (got[rid], ref)
     finally:
         srv.stop()
 
