@@ -465,6 +465,59 @@ def main():
             )
             _PARTIAL["fps_512_int8kv"] = round(fps_512_int8kv, 2)
 
+    # continuous-batching LM decode (lm_serving): tokens/sec across 8
+    # ragged slots at steady state, capacity-512 cache — the VideoQA
+    # serving path's decode rate (a 0.5B-class tower config; the flagship
+    # encoder above is the headline, this is the serving-stack secondary)
+    lm_tok_s = None
+    if on_tpu and budget_left(2100):
+        try:
+            from streamformer_tpu.models import language_model as LMM
+
+            lm_cfg = LMM.LMConfig(
+                vocab_size=32_000, hidden_size=1024,
+                num_hidden_layers=16, num_attention_heads=16,
+                num_key_value_heads=4, intermediate_size=2816,
+                max_position_embeddings=1024, dtype="bfloat16",
+            )
+            lm_params = LMM.init_params(jax.random.PRNGKey(7), lm_cfg)
+            S, CAPL = 8, 512
+            lm_cache = LMM.init_cache(lm_cfg, S, CAPL, per_stream_len=True)
+            lens0 = jnp.asarray(
+                np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32
+            )
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def lm_step(p, toks, cache):
+                # pin mixed steady-state depths: every step attends a
+                # 64-448-deep window per slot (ragged), like live traffic
+                cache = {**cache, "len": lens0}
+                emb = LMM.embed_tokens(p, toks)[:, None]
+                out, cache = LMM.forward(p, emb, lm_cfg, cache=cache)
+                return (
+                    jnp.argmax(out["logits"][:, -1], -1).astype(jnp.int32),
+                    cache,
+                )
+
+            toks = jnp.zeros((S,), jnp.int32)
+            toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+            _ = int(jnp.sum(toks))
+
+            def timed_lm(k):
+                nonlocal toks, lm_cache
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+                _ = int(jnp.sum(toks))
+                return time.perf_counter() - t0
+
+            tl1 = min(timed_lm(k1) for _ in range(reps))
+            tl2 = min(timed_lm(k2) for _ in range(reps))
+            lm_tok_s = S / ((tl2 - tl1) / (k2 - k1))
+            _PARTIAL["lm_decode_tok_per_sec"] = round(lm_tok_s, 1)
+        except Exception as e:
+            print(f"# lm decode bench skipped: {e}", file=sys.stderr)
+
     torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
     torch_dt = None
     if (
@@ -492,6 +545,7 @@ def main():
         "fps_512_int8kv": round(fps_512_int8kv, 2) if fps_512_int8kv else None,
         "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
         "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
+        "lm_decode_tok_per_sec": round(lm_tok_s, 1) if lm_tok_s else None,
         "fps_ragged_serving": round(fps_ragged, 2) if fps_ragged else None,
         "train_clips_per_sec": round(train_cps, 2) if train_cps else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
