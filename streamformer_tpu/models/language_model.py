@@ -119,6 +119,11 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _dense(x, p):
+    if "kernel_q" in p:  # int8-weight serving (ops/quant tree): decode is
+        # weights-bandwidth-bound, so int8 weights are the 2x lever
+        from streamformer_tpu.ops.quant import int8_dense
+
+        return int8_dense(x, p)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -21,7 +21,7 @@ per-column weight scales keep encoder pooler-output cosine > 0.999 vs bf16
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,15 +80,24 @@ def int8_dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
-def quantize_encoder_params(params: Params) -> Params:
-    """Quantize every large 2-D dense kernel in a backbone param tree.
+def quantize_encoder_params(
+    params: Params, min_elements: Optional[int] = None
+) -> Params:
+    """Quantize every large 2-D dense kernel in a param tree.
 
     Leaves everything else (layernorms, gates, embeddings, the 4-D
     patch-embed conv kernel, probe vectors) untouched. The returned tree is
-    consumed transparently by ``models.encoder.dense`` (which dispatches on
-    the presence of ``kernel_q``), so ``model_forward`` / ``streaming_forward``
-    and every fused-kernel path work unchanged.
+    consumed transparently by ``models.encoder.dense`` AND
+    ``models.language_model._dense`` (both dispatch on the presence of
+    ``kernel_q``), so ``model_forward`` / ``streaming_forward`` / LM
+    ``forward``/``greedy_generate`` and every fused-kernel path work
+    unchanged. Works on any such tree despite the name — the LM's
+    attn q/k/v/o and SwiGLU gate/up/down all match the walk.
+    ``min_elements`` overrides the too-small-to-bother threshold (tests
+    use 0 to force quantization of toy-sized kernels).
     """
+    if min_elements is None:
+        min_elements = _MIN_KERNEL_ELEMENTS
 
     def walk(node):
         if isinstance(node, dict):
@@ -97,7 +106,7 @@ def quantize_encoder_params(params: Params) -> Params:
                 kern is not None
                 and hasattr(kern, "ndim")
                 and kern.ndim == 2
-                and kern.size >= _MIN_KERNEL_ELEMENTS
+                and kern.size >= min_elements
             ):
                 return quantize_linear(node)
             return {k: walk(v) for k, v in node.items()}

@@ -314,6 +314,40 @@ def test_int8_kv_cache(lm):
     assert outs["int8"] == outs[None], outs
 
 
+def test_int8_weights_lm(lm):
+    """int8 WEIGHTS (the 2x lever for the weights-bandwidth-bound decode,
+    PERF.md): the quantized tree flows transparently through LM.forward
+    and the DecodeEngine; logits stay close (per-column absmax) and the
+    engine runs the quantized tree end-to-end."""
+    from streamformer_tpu.ops import quant
+
+    cfg, params = lm
+    qparams = quant.quantize_encoder_params(params, min_elements=0)
+    rng = np.random.default_rng(10)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 6))
+
+    emb = jnp.asarray(_emb(params, ids[0])[None])
+    fp, _ = LM.forward(params, emb, cfg)
+    q8, _ = LM.forward(qparams, emb, cfg)
+    a = np.asarray(fp["logits"]).ravel()
+    b = np.asarray(q8["logits"]).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, cos
+
+    eng = DecodeEngine(qparams, cfg, slots=2, capacity=16,
+                       max_new_tokens=3, prefill_buckets=(8,))
+    sids = [eng.open(_emb(params, ids[0])) for _ in range(3)]
+    eng.run_until_idle()
+    outs = []
+    for sid in sids:
+        toks, done = eng.poll(sid)
+        assert done and len(toks) == 3
+        assert all(0 <= t < cfg.vocab_size for t in toks)
+        outs.append(tuple(toks))
+    # identical prompts through the quantized engine agree with each other
+    assert len(set(outs)) == 1, outs
+
+
 def test_decode_engine_eos_and_capacity(lm):
     """EOS finishes a stream early and frees its slot for a queued
     request; a stream hitting cache capacity is finished, not clamped."""
