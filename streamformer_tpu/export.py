@@ -35,6 +35,7 @@ from streamformer_tpu.models import encoder
 __all__ = [
     "export_streaming_step",
     "export_full_clip",
+    "export_lm_decode",
     "export_sharded_forward",
     "load_exported",
 ]
@@ -130,6 +131,53 @@ def export_full_clip(
     )
     kw = {} if platforms is None else {"platforms": list(platforms)}
     exp = jexport.export(fwd, **kw)(params_s, px_s)
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def export_lm_decode(
+    lm_cfg,
+    slots: int,
+    capacity: int,
+    *,
+    quantized_weights: bool = False,
+    cache_dtype: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+) -> bytes:
+    """Serialize the continuous-batching LM decode step.
+
+    Exported signature: ``(params, toks (S,), cache) ->
+    ({"logits": (S, 1, V)}, new_cache)`` over the ragged per-stream cache
+    (``language_model.init_cache(per_stream_len=True)``) — the
+    lm_serving.DecodeEngine's hot program as a deployment artifact.
+    ``quantized_weights`` expects the ops.quant int8 tree; ``cache_dtype``
+    exports the int8-KV cache layout.
+    """
+    from streamformer_tpu.models import language_model as LM
+
+    def step(params, toks, cache):
+        emb = LM.embed_tokens(params, toks)[:, None]
+        return LM.forward(params, emb, lm_cfg, cache=cache)
+
+    fn = jax.jit(step, donate_argnums=(2,))
+    params_s = jax.eval_shape(
+        lambda: LM.init_params(jax.random.PRNGKey(0), lm_cfg)
+    )
+    if quantized_weights:
+        from streamformer_tpu.ops import quant
+
+        params_s = jax.eval_shape(quant.quantize_encoder_params, params_s)
+    toks_s = jax.ShapeDtypeStruct((slots,), jnp.int32)
+    cache_s = jax.eval_shape(
+        lambda: LM.init_cache(lm_cfg, slots, capacity, per_stream_len=True,
+                              cache_dtype=cache_dtype)
+    )
+    kw = {} if platforms is None else {"platforms": list(platforms)}
+    exp = jexport.export(fn, **kw)(params_s, toks_s, cache_s)
     blob = exp.serialize()
     if path:
         with open(path, "wb") as f:

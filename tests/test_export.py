@@ -180,6 +180,36 @@ def test_sharded_forward_export(params):
     )
 
 
+def test_lm_decode_export():
+    """The ragged LM decode artifact matches the live compiled step over
+    a threaded cache (two slots at mixed depths)."""
+    from streamformer_tpu.models import language_model as LM
+    from test_language_model import SMALL as LM_CFG
+
+    lm_params = LM.init_params(jax.random.PRNGKey(5), LM_CFG)
+    blob = EX.export_lm_decode(LM_CFG, slots=2, capacity=12)
+    call = EX.load_exported(blob)
+
+    rng = np.random.default_rng(11)
+    cache_a = LM.init_cache(LM_CFG, 2, 12, per_stream_len=True)
+    cache_b = jax.tree.map(jnp.copy, cache_a)
+    cache_a = {**cache_a, "len": jnp.asarray([0, 3], jnp.int32)}
+    cache_b = {**cache_b, "len": jnp.asarray([0, 3], jnp.int32)}
+    for _ in range(3):
+        toks = jnp.asarray(rng.integers(0, LM_CFG.vocab_size, (2,)),
+                           jnp.int32)
+        out_a, cache_a = call(lm_params, toks, cache_a)
+        emb = LM.embed_tokens(lm_params, toks)[:, None]
+        out_b, cache_b = LM.forward(lm_params, emb, LM_CFG, cache=cache_b)
+        np.testing.assert_allclose(
+            np.asarray(out_a["logits"]), np.asarray(out_b["logits"]),
+            rtol=0, atol=1e-5,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(cache_a["len"]), np.asarray(cache_b["len"])
+    )
+
+
 def test_export_cli(tmp_path):
     out = tmp_path / "artifact.bin"
     EX.main(["--out", str(out), "--streaming", "--batch", "1",
