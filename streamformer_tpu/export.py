@@ -150,18 +150,28 @@ def export_lm_decode(
 ) -> bytes:
     """Serialize the continuous-batching LM decode step.
 
-    Exported signature: ``(params, toks (S,), cache) ->
-    ({"logits": (S, 1, V)}, new_cache)`` over the ragged per-stream cache
-    (``language_model.init_cache(per_stream_len=True)``) — the
-    lm_serving.DecodeEngine's hot program as a deployment artifact.
-    ``quantized_weights`` expects the ops.quant int8 tree; ``cache_dtype``
-    exports the int8-KV cache layout.
+    Exported signature: ``(params, toks (S,), cache, active (S,) bool) ->
+    (next_tokens (S,) int32, new_cache)`` over the ragged per-stream cache
+    (``language_model.init_cache(per_stream_len=True)``) — the greedy form
+    of lm_serving.DecodeEngine's hot program, INCLUDING the idle-slot
+    hold: rows where ``active`` is False have their frontier rolled back
+    so a free/finished slot is not advanced (their returned token is
+    meaningless). Temperature sampling is engine-side state and is not
+    embedded; a sampling deployment exports its own step or re-ranks the
+    logits host-side. ``quantized_weights`` expects the ops.quant int8
+    tree; ``cache_dtype`` exports the int8-KV cache layout.
     """
     from streamformer_tpu.models import language_model as LM
 
-    def step(params, toks, cache):
+    def step(params, toks, cache, active):
         emb = LM.embed_tokens(params, toks)[:, None]
-        return LM.forward(params, emb, lm_cfg, cache=cache)
+        out, cache = LM.forward(params, emb, lm_cfg, cache=cache)
+        cache = {
+            **cache,
+            "len": jnp.where(active, cache["len"], cache["len"] - 1),
+        }
+        ntok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+        return ntok, cache
 
     fn = jax.jit(step, donate_argnums=(2,))
     params_s = jax.eval_shape(
@@ -172,12 +182,13 @@ def export_lm_decode(
 
         params_s = jax.eval_shape(quant.quantize_encoder_params, params_s)
     toks_s = jax.ShapeDtypeStruct((slots,), jnp.int32)
+    active_s = jax.ShapeDtypeStruct((slots,), jnp.bool_)
     cache_s = jax.eval_shape(
         lambda: LM.init_cache(lm_cfg, slots, capacity, per_stream_len=True,
                               cache_dtype=cache_dtype)
     )
     kw = {} if platforms is None else {"platforms": list(platforms)}
-    exp = jexport.export(fn, **kw)(params_s, toks_s, cache_s)
+    exp = jexport.export(fn, **kw)(params_s, toks_s, cache_s, active_s)
     blob = exp.serialize()
     if path:
         with open(path, "wb") as f:

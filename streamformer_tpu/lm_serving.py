@@ -213,19 +213,28 @@ class DecodeEngine:
         """Queue a request. ``prompt_embeds`` is (L, D) — token embeddings,
         optionally with vision features spliced in (VideoQA contract)."""
         emb = np.asarray(prompt_embeds)
-        assert emb.ndim == 2, "prompt_embeds must be (L, D)"
+        if emb.ndim != 2 or len(emb) == 0:
+            raise ValueError(
+                f"prompt_embeds must be (L>=1, D), got {emb.shape}"
+            )
         if len(emb) > self.capacity:
             raise ValueError(
                 f"prompt length {len(emb)} exceeds the cache capacity "
                 f"{self.capacity} (long prompts prefill in chunks, but the "
                 "whole prompt must fit the cache)"
             )
+        budget = (
+            self.max_new_tokens if max_new_tokens is None else max_new_tokens
+        )
+        if budget < 1:
+            raise ValueError(
+                f"max_new_tokens must be >= 1, got {budget} (the prefill "
+                "itself produces the first token)"
+            )
         sid = self._next_sid
         self._next_sid += 1
         self._results[sid] = []
-        self._budget[sid] = (
-            self.max_new_tokens if max_new_tokens is None else max_new_tokens
-        )
+        self._budget[sid] = budget
         self._pending.append((sid, emb))
         return sid
 

@@ -285,12 +285,20 @@ def forward(
         x = x + _dense(gate * _dense(h, lp["mlp"]["up"]), lp["mlp"]["down"])
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    head = (
-        params["embed_tokens"].T
-        if cfg.tie_word_embeddings
-        else params["lm_head"]
-    )
-    logits = (x @ head.astype(dt)).astype(jnp.float32)
+    if cfg.tie_word_embeddings:
+        logits = (x @ params["embed_tokens"].T.astype(dt)).astype(
+            jnp.float32
+        )
+    elif "lm_head_q" in params:  # int8 untied vocab head (ops/quant walk)
+        from streamformer_tpu.ops.quant import int8_dense
+
+        logits = int8_dense(
+            x,
+            {"kernel_q": params["lm_head_q"],
+             "kernel_scale": params["lm_head_scale"]},
+        ).astype(jnp.float32)
+    else:
+        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
     new_cache = None
     if cache is not None:
         new_cache = {"layers": new_layers, "len": start + l}

@@ -109,7 +109,23 @@ def quantize_encoder_params(
                 and kern.size >= min_elements
             ):
                 return quantize_linear(node)
-            return {k: walk(v) for k, v in node.items()}
+            out = {}
+            for k, v in node.items():
+                # the LM's untied vocab head is a bare (D, V) array — the
+                # largest single decode matmul; quantize it too
+                # (language_model.forward dispatches on lm_head_q)
+                if (
+                    k == "lm_head"
+                    and hasattr(v, "ndim")
+                    and v.ndim == 2
+                    and v.size >= min_elements
+                ):
+                    q = quantize_linear({"kernel": v})
+                    out["lm_head_q"] = q["kernel_q"]
+                    out["lm_head_scale"] = q["kernel_scale"]
+                else:
+                    out[k] = walk(v)
+            return out
         if isinstance(node, (list, tuple)):
             t = type(node)
             return t(walk(v) for v in node)

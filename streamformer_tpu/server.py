@@ -1,25 +1,39 @@
-"""HTTP inference server over the StreamingEngine.
+"""HTTP inference servers over the serving engines.
 
-The production front-end the reference never had (its "serving" is
-importing the training model code): a thin stdlib HTTP layer on top of
-``serving.StreamingEngine``. Request handlers run on the
-``ThreadingHTTPServer`` pool, but ALL engine calls — and therefore all
-device dispatch — are routed through ONE worker thread via a command
-queue (two threads jit-dispatching deadlocks some PJRT transports; same
-rule as serving.py's host loop). The worker ticks the engine whenever any
-slot has queued frames and otherwise blocks on the queue, so an idle
-server burns no cycles.
+The production front-ends the reference never had (its "serving" is
+importing the training model code): thin stdlib HTTP layers over
+``serving.StreamingEngine`` (streaming video encode) and
+``lm_serving.DecodeEngine`` (continuous-batching generation). Request
+handlers run on the ``ThreadingHTTPServer`` pool, but ALL engine calls —
+and therefore all device dispatch — are routed through ONE worker thread
+per engine via a command queue (two threads jit-dispatching deadlocks
+some PJRT transports; same rule as serving.py's host loop). The worker
+ticks the engine whenever its work predicate says a tick would make
+progress and otherwise blocks on the queue, so an idle server burns no
+cycles.
 
-API (JSON bodies; frames are base64 of raw float32/uint8 (t, C, H, W)):
+StreamingServer routes (frames are base64 of raw float32/uint8
+(t, C, H, W)):
 
     POST /streams                      -> {"sid": int}
     POST /streams/<sid>/frames  {"frames_b64", "shape", "dtype"} -> {"ok"}
     POST /streams/<sid>/close          -> {"ok": true}
-    GET  /streams/<sid>/features       -> {"features": [[...]], "done": bool}
-    GET  /healthz                      -> {"ok": true, "slots": int}
+    GET  /streams/<sid>/features       -> {"features": [[...]], "done"}
+    GET  /healthz                      -> {"ok", "slots", occupancy}
 
-Features are drained incrementally (the ``poll`` contract): each GET
-returns only what was produced since the previous GET.
+DecodeServer routes (prompt embeddings as base64 float32 (L, D) — build
+them with ``LlavaQwenModel.prompt_embeds`` for the vision-spliced case):
+
+    POST /requests  {"embeds_b64","shape","dtype"?,"max_new_tokens"?}
+                                       -> {"rid": int}
+    GET  /requests/<rid>/tokens        -> {"tokens": [...], "done"}
+    GET  /healthz                      -> {"ok", "slots", occupancy}
+
+Features/tokens are drained incrementally (the ``poll`` contract): each
+GET returns only what was produced since the previous GET. Error
+mapping: engine rejections (bad input, overflow) -> 400 with the
+message; a dead engine actor -> 503 on every route (load balancers fail
+over on 5xx); unknown routes -> 404.
 """
 
 from __future__ import annotations
@@ -87,7 +101,7 @@ class _EngineActor:
         # error, not a hung connection
         while not out["event"].wait(timeout=1.0):
             if not self._thread.is_alive():
-                raise RuntimeError(f"engine actor died: {self._fatal!r}")
+                raise _ActorDied(f"engine actor died: {self._fatal!r}")
         if "error" in out:
             raise out["error"]
         return out["result"]
@@ -97,7 +111,77 @@ class _EngineActor:
         self._thread.join(timeout=10)
 
 
-class StreamingServer:
+class _ActorDied(RuntimeError):
+    """The engine thread crashed — a server-down condition (503)."""
+
+
+class _JSONHandler(BaseHTTPRequestHandler):
+    """Shared JSON plumbing for both servers' handlers."""
+
+    # quiet by default; real deployments hook their own logging
+    def log_message(self, *a):
+        pass
+
+    def _json(self, code: int, payload: dict) -> bool:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return True  # "responded" — _guarded treats None as no-route
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _guarded(self, fn):
+        """Run a route body. Engine rejections -> 400; a dead engine
+        actor -> 503 (server-down, so 5xx-keyed retry/failover works);
+        fn returning None -> 404."""
+        try:
+            if fn() is None:
+                self._json(404, {"error": f"no route {self.path}"})
+        except _ActorDied as e:
+            self._json(503, {"ok": False, "error": str(e)})
+        except Exception as e:
+            self._json(400, {"error": str(e)})
+
+
+class _HTTPServerBase:
+    """start()/stop() scaffolding shared by both servers."""
+
+    _actor: Optional[_EngineActor]
+
+    def __init__(self, host: str, port: int):
+        self._actor = None
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._host, self.port = host, port
+        self._serve_thread: Optional[threading.Thread] = None
+
+    def _start_http(self, handler_cls):
+        self._httpd = ThreadingHTTPServer((self._host, self.port),
+                                          handler_cls)
+        self.port = self._httpd.server_address[1]
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def _healthz_payload(self, slots: int, stats_op) -> dict:
+        stats = self._actor.call(stats_op)
+        return {"ok": True, "slots": slots, **stats}
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._actor is not None:
+            self._actor.shutdown()
+
+
+class StreamingServer(_HTTPServerBase):
     """Serve streaming encode over HTTP.
 
     >>> srv = StreamingServer(params, cfg, slots=8, port=0)
@@ -115,6 +199,7 @@ class StreamingServer:
         port: int = 0,
         **engine_kw,
     ):
+        super().__init__(host, port)
         # linear cache mode by default (NOT the engine's "auto", which
         # resolves to ring on TPU): ring's feed-or-close contract cannot be
         # met by independent HTTP clients whose feeds arrive in bursts
@@ -123,10 +208,6 @@ class StreamingServer:
         # for lockstep always-fed deployments.
         engine_kw.setdefault("mode", "linear")
         self._engine = StreamingEngine(params, cfg, slots=slots, **engine_kw)
-        self._actor: Optional[_EngineActor] = None
-        self._httpd: Optional[ThreadingHTTPServer] = None
-        self._host, self.port = host, port
-        self._serve_thread: Optional[threading.Thread] = None
 
     # -- engine ops (run on the actor thread) ------------------------------
     @staticmethod
@@ -182,23 +263,7 @@ class StreamingServer:
         self._actor = _EngineActor(self._engine, self._tick_has_work)
         server = self
 
-        class Handler(BaseHTTPRequestHandler):
-            # quiet by default; real deployments hook their own logging
-            def log_message(self, *a):
-                pass
-
-            def _json(self, code: int, payload: dict):
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def _body(self) -> dict:
-                n = int(self.headers.get("Content-Length") or 0)
-                return json.loads(self.rfile.read(n) or b"{}")
-
+        class Handler(_JSONHandler):
             def _route(self) -> Tuple[str, Optional[int], str]:
                 parts = [p for p in self.path.split("/") if p]
                 if parts == ["healthz"]:
@@ -217,95 +282,70 @@ class StreamingServer:
 
             def do_GET(self):
                 kind, sid, leaf = self._route()
-                try:
+
+                def run():
                     if kind == "healthz":
-                        # a real liveness probe: routes through the actor,
-                        # so a dead engine thread answers 503, not 200
-                        try:
-                            stats = server._actor.call(server._op_stats)
-                        except RuntimeError as e:
-                            return self._json(503,
-                                              {"ok": False, "error": str(e)})
-                        return self._json(
-                            200, {"ok": True,
-                                  "slots": server._engine.slots, **stats}
-                        )
+                        return self._json(200, server._healthz_payload(
+                            server._engine.slots, server._op_stats
+                        ))
                     if kind == "streams" and sid is not None \
                             and leaf == "features":
-                        feats, done = server._actor.call(server._op_poll, sid)
+                        feats, done = server._actor.call(
+                            server._op_poll, sid
+                        )
                         return self._json(
                             200,
                             {"features": np.asarray(feats).tolist(),
                              "done": bool(done)},
                         )
-                except Exception as e:
-                    return self._json(400, {"error": str(e)})
-                self._json(404, {"error": f"no route {self.path}"})
+                    return None  # 404
+
+                self._guarded(run)
 
             def do_POST(self):
                 kind, sid, leaf = self._route()
-                try:
+
+                def run():
                     if kind == "streams" and sid is None:
                         return self._json(
-                            200, {"sid": server._actor.call(server._op_open)}
+                            200,
+                            {"sid": server._actor.call(server._op_open)},
                         )
                     if kind == "streams" and sid is not None:
                         if leaf == "frames":
                             b = self._body()
                             raw = base64.b64decode(b["frames_b64"])
                             arr = np.frombuffer(
-                                raw, dtype=np.dtype(b.get("dtype", "float32"))
+                                raw,
+                                dtype=np.dtype(b.get("dtype", "float32")),
                             ).reshape(b["shape"])
                             server._actor.call(server._op_feed, sid, arr)
                             return self._json(200, {"ok": True})
                         if leaf == "close":
                             server._actor.call(server._op_close, sid)
                             return self._json(200, {"ok": True})
-                except Exception as e:
-                    return self._json(400, {"error": str(e)})
-                self._json(404, {"error": f"no route {self.path}"})
+                    return None  # 404
 
-        self._httpd = ThreadingHTTPServer((self._host, self.port), Handler)
-        self.port = self._httpd.server_address[1]
-        self._serve_thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True
-        )
-        self._serve_thread.start()
-        return self
+                self._guarded(run)
 
-    def stop(self):
-        if self._httpd is not None:
-            self._httpd.shutdown()
-            self._httpd.server_close()
-        if self._actor is not None:
-            self._actor.shutdown()
+        return self._start_http(Handler)
 
 
-class DecodeServer:
-    """Serve LM generation (lm_serving.DecodeEngine) over HTTP.
-
-    Routes (JSON; prompt embeddings as base64 float32 (L, D) — build them
-    with ``LlavaQwenModel.prompt_embeds`` for the vision-spliced case):
-
-        POST /requests  {"embeds_b64","shape","dtype"?,"max_new_tokens"?}
-                                            -> {"rid": int}
-        GET  /requests/<rid>/tokens         -> {"tokens": [...], "done"}
-        GET  /healthz                       -> {"ok", "slots", occupancy}
-
-    Same single-dispatch-thread actor design as StreamingServer.
-    """
+class DecodeServer(_HTTPServerBase):
+    """Serve LM generation (lm_serving.DecodeEngine) over HTTP — see the
+    module docstring for routes. Same single-dispatch-thread actor design
+    as StreamingServer."""
 
     def __init__(self, params, lm_cfg, host: str = "127.0.0.1",
                  port: int = 0, **engine_kw):
         from .lm_serving import DecodeEngine
 
+        super().__init__(host, port)
         self._engine = DecodeEngine(params, lm_cfg, **engine_kw)
-        self._actor: Optional[_EngineActor] = None
-        self._httpd: Optional[ThreadingHTTPServer] = None
-        self._host, self.port = host, port
-        self._serve_thread: Optional[threading.Thread] = None
 
     def _tick_has_work(self) -> bool:
+        # every occupied slot decodes every tick, and pending implies
+        # either admission (free slot) or decode progress — precise
         e = self._engine
         return bool(e._pending) or any(
             sid is not None for sid in e._slot_sid
@@ -313,6 +353,8 @@ class DecodeServer:
 
     @staticmethod
     def _op_open(e, emb, max_new):
+        if max_new is None:
+            return e.open(emb)
         return e.open(emb, max_new_tokens=max_new)
 
     @staticmethod
@@ -330,25 +372,11 @@ class DecodeServer:
         self._actor = _EngineActor(self._engine, self._tick_has_work)
         server = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _json(self, code: int, payload: dict):
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def _body(self) -> dict:
-                n = int(self.headers.get("Content-Length") or 0)
-                return json.loads(self.rfile.read(n) or b"{}")
-
+        class Handler(_JSONHandler):
             def do_POST(self):
                 parts = [p for p in self.path.split("/") if p]
-                try:
+
+                def run():
                     if parts == ["requests"]:
                         b = self._body()
                         raw = base64.b64decode(b["embeds_b64"])
@@ -359,52 +387,33 @@ class DecodeServer:
                             server._op_open, emb, b.get("max_new_tokens")
                         )
                         return self._json(200, {"rid": rid})
-                except Exception as e:
-                    return self._json(400, {"error": str(e)})
-                self._json(404, {"error": f"no route {self.path}"})
+                    return None  # 404
+
+                self._guarded(run)
 
             def do_GET(self):
                 parts = [p for p in self.path.split("/") if p]
-                try:
+
+                def run():
                     if parts == ["healthz"]:
-                        try:
-                            stats = server._actor.call(server._op_stats)
-                        except RuntimeError as e:
-                            return self._json(
-                                503, {"ok": False, "error": str(e)}
-                            )
-                        return self._json(
-                            200, {"ok": True,
-                                  "slots": server._engine.slots, **stats}
-                        )
+                        return self._json(200, server._healthz_payload(
+                            server._engine.slots, server._op_stats
+                        ))
                     if (len(parts) == 3 and parts[0] == "requests"
                             and parts[2] == "tokens"):
                         try:
                             rid = int(parts[1])
                         except ValueError:
-                            return self._json(
-                                404, {"error": f"no route {self.path}"}
-                            )
-                        toks, done = server._actor.call(server._op_poll, rid)
+                            return None  # 404
+                        toks, done = server._actor.call(
+                            server._op_poll, rid
+                        )
                         return self._json(
                             200, {"tokens": [int(t) for t in toks],
-                                  "done": bool(done)}
+                                  "done": bool(done)},
                         )
-                except Exception as e:
-                    return self._json(400, {"error": str(e)})
-                self._json(404, {"error": f"no route {self.path}"})
+                    return None  # 404
 
-        self._httpd = ThreadingHTTPServer((self._host, self.port), Handler)
-        self.port = self._httpd.server_address[1]
-        self._serve_thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True
-        )
-        self._serve_thread.start()
-        return self
+                self._guarded(run)
 
-    def stop(self):
-        if self._httpd is not None:
-            self._httpd.shutdown()
-            self._httpd.server_close()
-        if self._actor is not None:
-            self._actor.shutdown()
+        return self._start_http(Handler)

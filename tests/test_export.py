@@ -181,8 +181,9 @@ def test_sharded_forward_export(params):
 
 
 def test_lm_decode_export():
-    """The ragged LM decode artifact matches the live compiled step over
-    a threaded cache (two slots at mixed depths)."""
+    """The ragged LM decode artifact (the engine's greedy hot step, with
+    the idle-slot hold) matches the live forward over a threaded cache:
+    two slots at mixed depths, one held idle mid-run."""
     from streamformer_tpu.models import language_model as LM
     from test_language_model import SMALL as LM_CFG
 
@@ -195,19 +196,26 @@ def test_lm_decode_export():
     cache_b = jax.tree.map(jnp.copy, cache_a)
     cache_a = {**cache_a, "len": jnp.asarray([0, 3], jnp.int32)}
     cache_b = {**cache_b, "len": jnp.asarray([0, 3], jnp.int32)}
-    for _ in range(3):
+    actives = [[True, True], [True, False], [True, True]]
+    for act in actives:
         toks = jnp.asarray(rng.integers(0, LM_CFG.vocab_size, (2,)),
                            jnp.int32)
-        out_a, cache_a = call(lm_params, toks, cache_a)
+        ntok, cache_a = call(lm_params, toks, cache_a,
+                             jnp.asarray(act))
         emb = LM.embed_tokens(lm_params, toks)[:, None]
         out_b, cache_b = LM.forward(lm_params, emb, LM_CFG, cache=cache_b)
-        np.testing.assert_allclose(
-            np.asarray(out_a["logits"]), np.asarray(out_b["logits"]),
-            rtol=0, atol=1e-5,
+        cache_b = {**cache_b, "len": jnp.where(
+            jnp.asarray(act), cache_b["len"], cache_b["len"] - 1
+        )}
+        np.testing.assert_array_equal(
+            np.asarray(ntok),
+            np.argmax(np.asarray(out_b["logits"][:, -1]), -1),
         )
     np.testing.assert_array_equal(
         np.asarray(cache_a["len"]), np.asarray(cache_b["len"])
     )
+    # idle-slot hold: slot 1 skipped one tick -> frontier one behind
+    np.testing.assert_array_equal(np.asarray(cache_a["len"]), [3, 5])
 
 
 def test_export_cli(tmp_path):

@@ -148,6 +148,13 @@ def test_chunked_prefill_matches_lone_greedy(lm):
 
     with pytest.raises(ValueError, match="capacity"):
         eng.open(np.zeros((25, cfg.hidden_size), np.float32))
+    # a zero-length prompt must be rejected at open() — it used to reach
+    # the actor thread and kill it (permanent denial of service over HTTP)
+    with pytest.raises(ValueError, match="L>=1"):
+        eng.open(np.zeros((0, cfg.hidden_size), np.float32))
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng.open(np.zeros((2, cfg.hidden_size), np.float32),
+                 max_new_tokens=0)
 
 
 def test_videoqa_requests_through_engine():
