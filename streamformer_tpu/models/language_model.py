@@ -269,15 +269,19 @@ def forward(
         else:
             full_mask = mask
 
-        kr = jnp.repeat(k_att, rep, axis=2)  # (B, kl, Hq, dh)
-        vr = jnp.repeat(v_att, rep, axis=2)
+        # grouped-query attention WITHOUT materializing repeated K/V:
+        # queries reshaped (B, L, hkv, rep, dh) contract against the
+        # (B, kl, hkv, dh) cache directly — the cache is read once, not
+        # rep times (a materialized jnp.repeat would multiply the
+        # HBM-bound decode's cache traffic by Hq/Hkv)
+        qg = q.reshape(b, l, hkv, rep, dh)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, kr.astype(q.dtype),
+            "bqhrd,bkhd->bhrqk", qg, k_att.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) * (dh**-0.5)
-        scores = jnp.where(full_mask[:, None], scores, -1e30)
+        scores = jnp.where(full_mask[:, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vr.astype(dt))
+        ctx = jnp.einsum("bhrqk,bkhd->bqhrd", probs, v_att.astype(dt))
         x = x + _dense(ctx.reshape(b, l, hq * dh), lp["attn"]["o"])
 
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
