@@ -95,6 +95,72 @@ def test_http_server_end_to_end(params):
         srv.stop()
 
 
+def test_http_server_concurrent_clients(params):
+    """Production-shaped traffic: 4 client threads each running 3 streams
+    over a 2-slot engine, feeding in random chunks with delays and polling
+    interleaved — every stream must match its lone oracle exactly."""
+    import threading
+
+    rng = np.random.default_rng(3)
+    n_clients, per_client = 4, 3
+    clips = {}
+    for c in range(n_clients):
+        for j in range(per_client):
+            n = int(rng.integers(2, 7))
+            clips[(c, j)] = rng.standard_normal(
+                (n, 3, 32, 32)).astype(np.float32)
+
+    srv = StreamingServer(params, CFG, slots=2, port=0).start()
+    results, errors = {}, []
+
+    def client(c):
+        try:
+            local = np.random.default_rng(c)
+            for j in range(per_client):
+                clip = clips[(c, j)]
+                sid = _req(srv.port, "POST", "/streams")["sid"]
+                pos = 0
+                while pos < len(clip):  # bursty chunked feeds
+                    k = int(local.integers(1, 3))
+                    _req(srv.port, "POST", f"/streams/{sid}/frames",
+                         _frames_payload(clip[pos:pos + k]))
+                    pos += k
+                    time.sleep(float(local.uniform(0, 0.02)))
+                _req(srv.port, "POST", f"/streams/{sid}/close")
+                acc, deadline = [], time.time() + 120
+                while time.time() < deadline:
+                    r = _req(srv.port, "GET", f"/streams/{sid}/features")
+                    f = np.asarray(r["features"], np.float32).reshape(
+                        -1, CFG.hidden_size)
+                    if len(f):
+                        acc.append(f)
+                    if r["done"]:
+                        break
+                    time.sleep(0.02)
+                else:
+                    raise TimeoutError(f"stream {sid} never finished")
+                results[(c, j)] = np.concatenate(acc) if acc else np.zeros(
+                    (0, CFG.hidden_size), np.float32)
+        except Exception as e:
+            errors.append((c, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        for key, clip in clips.items():
+            np.testing.assert_allclose(
+                results[key], lone_stream(params, clip),
+                rtol=0, atol=1e-5, err_msg=str(key),
+            )
+    finally:
+        srv.stop()
+
+
 def test_decode_server_end_to_end():
     """LM generation over HTTP: two requests with different prompts served
     concurrently match their lone greedy_generate answers; healthz reports
