@@ -286,6 +286,36 @@ def test_prefill_overhang_and_capacity_stranding(lm):
         eng.poll(99)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_decode_engine_fuzzed_schedules(lm, seed):
+    """Randomized admission: requests opened at random points between
+    ticks, random prompt lengths and budgets, 2 slots — every request's
+    tokens equal its lone greedy_generate regardless of schedule."""
+    cfg, params = lm
+    rng = np.random.default_rng(200 + seed)
+    cap = 20
+    eng = DecodeEngine(params, cfg, slots=2, capacity=cap,
+                       max_new_tokens=4, prefill_buckets=(4, 8))
+    expected, sids = {}, []
+    for _ in range(6):
+        for _ in range(int(rng.integers(0, 4))):
+            eng.tick()
+        n = int(rng.integers(1, 8))
+        budget = int(rng.integers(1, 5))
+        ids = rng.integers(0, cfg.vocab_size, size=(n,))
+        sid = eng.open(_emb(params, ids), max_new_tokens=budget)
+        sids.append(sid)
+        expected[sid] = list(LM.greedy_generate(
+            params, cfg, jnp.asarray(_emb(params, ids)[None]),
+            max_new_tokens=budget, capacity=cap,
+        )[0])[:budget]
+    eng.run_until_idle()
+    for sid in sids:
+        toks, done = eng.poll(sid)
+        assert done, sid
+        assert toks == expected[sid], (sid, toks, expected[sid])
+
+
 def test_int8_kv_cache(lm):
     """cache_dtype="int8": half-footprint KV. Step logits stay close to
     the fp cache (per-row absmax keeps cosine > 0.999) and the engine

@@ -184,6 +184,68 @@ def test_engine_close_unadmitted_then_poll(params):
         eng.poll(999)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzzed_schedules(params, seed):
+    """Randomized schedules: interleaved open/feed/close/tick/poll over
+    few slots must be schedule-invariant — every stream's features equal
+    its lone oracle no matter the action order."""
+    rng = np.random.default_rng(100 + seed)
+    eng = StreamingEngine(params, CFG, slots=2)
+    clips, fed, closed, acc = {}, {}, set(), {}
+    next_frames = {}
+    opened = []
+
+    for _ in range(120):
+        act = rng.choice(["open", "feed", "close", "tick", "poll"])
+        live = [s for s in opened if s not in closed]
+        if act == "open" and len(opened) < 7:
+            sid = eng.open()
+            opened.append(sid)
+            n = int(rng.integers(1, 6))
+            clips[sid] = rng.standard_normal(
+                (n, 3, 32, 32)).astype(np.float32)
+            next_frames[sid] = 0
+            acc[sid] = []
+        elif act == "feed" and live:
+            sid = int(rng.choice(live))
+            pos = next_frames[sid]
+            if pos < len(clips[sid]):
+                k = int(rng.integers(1, len(clips[sid]) - pos + 1))
+                eng.feed(sid, clips[sid][pos:pos + k])
+                next_frames[sid] = pos + k
+        elif act == "close" and live:
+            sid = int(rng.choice(live))
+            if next_frames[sid] == len(clips[sid]):  # fully fed
+                eng.close(sid)
+                closed.add(sid)
+        elif act == "tick":
+            eng.tick()
+        elif act == "poll" and opened:
+            sid = int(rng.choice(opened))
+            f, _ = eng.poll(sid)
+            if sid in acc and len(f):
+                acc[sid].append(f)
+
+    # drain: feed+close everything, run to completion, final polls
+    for sid in opened:
+        if next_frames[sid] < len(clips[sid]):
+            eng.feed(sid, clips[sid][next_frames[sid]:])
+        if sid not in closed:
+            eng.close(sid)
+    eng.run_until_idle()
+    for sid in opened:
+        f, done = eng.poll(sid)
+        assert done, sid
+        if len(f):
+            acc[sid].append(f)
+        got = (np.concatenate(acc[sid]) if acc[sid]
+               else np.zeros((0, CFG.hidden_size), np.float32))
+        np.testing.assert_allclose(
+            got, lone_stream(params, clips[sid]), rtol=0, atol=1e-5,
+            err_msg=f"stream {sid} (seed {seed})",
+        )
+
+
 def test_engine_ring_feed_or_close_contract(params, monkeypatch):
     """Ring mode cannot hold a starved stream — the engine must say so
     loudly instead of corrupting the sliding window. (Ragged ring runs
