@@ -50,7 +50,7 @@ import numpy as np
 from .config import StreamformerConfig
 from .serving import StreamingEngine
 
-__all__ = ["StreamingServer", "DecodeServer"]
+__all__ = ["StreamingServer", "DecodeServer", "VideoQAServer"]
 
 
 class _EngineActor:
@@ -400,6 +400,114 @@ class DecodeServer(_HTTPServerBase):
                             server._engine.slots, server._op_stats
                         ))
                     if (len(parts) == 3 and parts[0] == "requests"
+                            and parts[2] == "tokens"):
+                        try:
+                            rid = int(parts[1])
+                        except ValueError:
+                            return None  # 404
+                        toks, done = server._actor.call(
+                            server._op_poll, rid
+                        )
+                        return self._json(
+                            200, {"tokens": [int(t) for t in toks],
+                                  "done": bool(done)},
+                        )
+                    return None  # 404
+
+                self._guarded(run)
+
+        return self._start_http(Handler)
+
+
+class VideoQAServer(_HTTPServerBase):
+    """One-stop VideoQA service: video frames + question in, tokens out.
+
+    Routes (JSON; frames are base64 of raw float32/uint8 (T, C, H, W)):
+
+        POST /qa  {"prompt_ids": [...], "frames_b64", "shape",
+                   "dtype"?, "max_new_tokens"?}        -> {"rid": int}
+        GET  /qa/<rid>/tokens                          -> {"tokens", "done"}
+        GET  /healthz                                  -> {"ok", ...}
+
+    ``prompt_ids`` uses the model's tokenizer ids with IMAGE_TOKEN_INDEX
+    placeholders; the server runs the vision tower + projector + splice
+    (``LlavaQwenModel.prompt_embeds``) and admits the request into the
+    continuous-batching DecodeEngine. The tower encode runs ON the engine
+    actor thread, preserving the one-dispatch-thread rule across both
+    models.
+    """
+
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 0,
+                 **engine_kw):
+        from .lm_serving import DecodeEngine
+
+        super().__init__(host, port)
+        self._model = model  # downstream.videoqa.LlavaQwenModel
+        self._engine = DecodeEngine(model.params["lm"], model.lm_cfg,
+                                    **engine_kw)
+
+    def _tick_has_work(self) -> bool:
+        e = self._engine
+        return bool(e._pending) or any(
+            sid is not None for sid in e._slot_sid
+        )
+
+    @staticmethod
+    def _op_poll(e, rid):
+        return e.poll(rid)
+
+    @staticmethod
+    def _op_stats(e):
+        return {
+            "slots_occupied": sum(s is not None for s in e._slot_sid),
+            "pending": len(e._pending),
+        }
+
+    def _op_ask(self, e, prompt_ids, pixel_values, max_new):
+        # runs on the actor thread: tower forward + projector + splice,
+        # then admission — all device work stays on this one thread
+        emb = self._model.prompt_embeds(prompt_ids, pixel_values)
+        if max_new is None:
+            return e.open(np.asarray(emb))
+        return e.open(np.asarray(emb), max_new_tokens=max_new)
+
+    def start(self):
+        self._actor = _EngineActor(self._engine, self._tick_has_work)
+        server = self
+
+        class Handler(_JSONHandler):
+            def do_POST(self):
+                parts = [p for p in self.path.split("/") if p]
+
+                def run():
+                    if parts == ["qa"]:
+                        import jax.numpy as jnp
+
+                        b = self._body()
+                        raw = base64.b64decode(b["frames_b64"])
+                        frames = np.frombuffer(
+                            raw, dtype=np.dtype(b.get("dtype", "float32"))
+                        ).reshape(b["shape"])
+                        px = jnp.asarray(frames, jnp.float32)[None]
+                        ids = np.asarray(b["prompt_ids"], np.int64)
+                        rid = server._actor.call(
+                            server._op_ask, ids, px,
+                            b.get("max_new_tokens"),
+                        )
+                        return self._json(200, {"rid": rid})
+                    return None  # 404
+
+                self._guarded(run)
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+
+                def run():
+                    if parts == ["healthz"]:
+                        return self._json(200, server._healthz_payload(
+                            server._engine.slots, server._op_stats
+                        ))
+                    if (len(parts) == 3 and parts[0] == "qa"
                             and parts[2] == "tokens"):
                         try:
                             rid = int(parts[1])

@@ -223,6 +223,69 @@ def test_decode_server_end_to_end():
         srv.stop()
 
 
+def test_videoqa_server_end_to_end():
+    """One-stop VideoQA over HTTP: tokenized question + raw frames in,
+    tokens out — the server runs tower+splice on the engine actor thread;
+    answers match lone model.generate."""
+    from streamformer_tpu.downstream import videoqa as VQ
+    from streamformer_tpu.downstream.vision_tower import (
+        TimesformerVisionTower,
+    )
+    from streamformer_tpu.models import language_model as LM
+    from streamformer_tpu.models import encoder as enc
+    from streamformer_tpu.server import VideoQAServer
+    from test_videoqa import CFG as TOWER_CFG, LM_DIM, _small_lm
+
+    lm_cfg, lm_params = _small_lm()
+    tower_params = enc.init_params(jax.random.PRNGKey(0), TOWER_CFG)
+    proj = VQ.init_mm_projector(jax.random.PRNGKey(1),
+                                TOWER_CFG.hidden_size, LM_DIM)
+    model = VQ.LlavaQwenModel(
+        tower=TimesformerVisionTower(TOWER_CFG, tower_params,
+                                     streaming_mode=False),
+        lm_cfg=lm_cfg, params={"projector": proj, "lm": lm_params},
+    )
+
+    rng = np.random.default_rng(12)
+    videos = [rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+              for _ in range(2)]
+    prompts = [np.array([3, VQ.IMAGE_TOKEN_INDEX, 9, 12]),
+               np.array([5, VQ.IMAGE_TOKEN_INDEX, 2])]
+    import jax.numpy as jnp
+    refs = [[int(t) for t in model.generate(p, jnp.asarray(v)[None],
+                                            max_new_tokens=3)[0]]
+            for p, v in zip(prompts, videos)]
+
+    srv = VideoQAServer(model, port=0, slots=2, capacity=32,
+                        max_new_tokens=3, prefill_buckets=(8, 16)).start()
+    try:
+        rids = []
+        for p, v in zip(prompts, videos):
+            r = _req(srv.port, "POST", "/qa", {
+                "prompt_ids": [int(x) for x in p],
+                "frames_b64": base64.b64encode(
+                    np.ascontiguousarray(v).tobytes()).decode(),
+                "shape": list(v.shape),
+            })
+            rids.append(r["rid"])
+        got, acc = {}, {}
+        deadline = time.time() + 120
+        while len(got) < len(rids) and time.time() < deadline:
+            for rid in rids:
+                if rid in got:
+                    continue
+                r = _req(srv.port, "GET", f"/qa/{rid}/tokens")
+                acc[rid] = acc.get(rid, []) + r["tokens"]
+                if r["done"]:
+                    got[rid] = acc[rid]
+            time.sleep(0.05)
+        for rid, ref in zip(rids, refs):
+            assert rid in got, f"request {rid} never finished"
+            assert got[rid] == ref, (got[rid], ref)
+    finally:
+        srv.stop()
+
+
 def test_http_server_errors(params):
     srv = StreamingServer(params, CFG, slots=1, port=0).start()
     try:
