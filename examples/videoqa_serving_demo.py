@@ -16,7 +16,10 @@ python examples/videoqa_serving_demo.py
 
 import base64
 import json
+import sys
 import urllib.request
+
+sys.path.insert(0, ".")  # run from the repo root without installing
 
 import numpy as np
 import jax

@@ -331,10 +331,14 @@ class StreamingServer(_HTTPServerBase):
         return self._start_http(Handler)
 
 
+
+
 class DecodeServer(_HTTPServerBase):
     """Serve LM generation (lm_serving.DecodeEngine) over HTTP — see the
     module docstring for routes. Same single-dispatch-thread actor design
     as StreamingServer."""
+
+    _PREFIX = "requests"
 
     def __init__(self, params, lm_cfg, host: str = "127.0.0.1",
                  port: int = 0, **engine_kw):
@@ -368,6 +372,17 @@ class DecodeServer(_HTTPServerBase):
             "pending": len(e._pending),
         }
 
+    def _post_open(self, body: dict) -> int:
+        """Parse a submission body and admit it; runs on the HTTP thread —
+        device work belongs in the actor op. Subclasses override."""
+        raw = base64.b64decode(body["embeds_b64"])
+        emb = np.frombuffer(
+            raw, dtype=np.dtype(body.get("dtype", "float32"))
+        ).reshape(body["shape"])
+        return self._actor.call(
+            self._op_open, emb, body.get("max_new_tokens")
+        )
+
     def start(self):
         self._actor = _EngineActor(self._engine, self._tick_has_work)
         server = self
@@ -377,16 +392,10 @@ class DecodeServer(_HTTPServerBase):
                 parts = [p for p in self.path.split("/") if p]
 
                 def run():
-                    if parts == ["requests"]:
-                        b = self._body()
-                        raw = base64.b64decode(b["embeds_b64"])
-                        emb = np.frombuffer(
-                            raw, dtype=np.dtype(b.get("dtype", "float32"))
-                        ).reshape(b["shape"])
-                        rid = server._actor.call(
-                            server._op_open, emb, b.get("max_new_tokens")
+                    if parts == [server._PREFIX]:
+                        return self._json(
+                            200, {"rid": server._post_open(self._body())}
                         )
-                        return self._json(200, {"rid": rid})
                     return None  # 404
 
                 self._guarded(run)
@@ -399,7 +408,7 @@ class DecodeServer(_HTTPServerBase):
                         return self._json(200, server._healthz_payload(
                             server._engine.slots, server._op_stats
                         ))
-                    if (len(parts) == 3 and parts[0] == "requests"
+                    if (len(parts) == 3 and parts[0] == server._PREFIX
                             and parts[2] == "tokens"):
                         try:
                             rid = int(parts[1])
@@ -419,10 +428,10 @@ class DecodeServer(_HTTPServerBase):
         return self._start_http(Handler)
 
 
-class VideoQAServer(_HTTPServerBase):
+class VideoQAServer(DecodeServer):
     """One-stop VideoQA service: video frames + question in, tokens out.
 
-    Routes (JSON; frames are base64 of raw float32/uint8 (T, C, H, W)):
+    Routes (JSON; frames are base64 of raw float32 (T, C, H, W)):
 
         POST /qa  {"prompt_ids": [...], "frames_b64", "shape",
                    "dtype"?, "max_new_tokens"?}        -> {"rid": int}
@@ -432,96 +441,52 @@ class VideoQAServer(_HTTPServerBase):
     ``prompt_ids`` uses the model's tokenizer ids with IMAGE_TOKEN_INDEX
     placeholders; the server runs the vision tower + projector + splice
     (``LlavaQwenModel.prompt_embeds``) and admits the request into the
-    continuous-batching DecodeEngine. The tower encode runs ON the engine
-    actor thread, preserving the one-dispatch-thread rule across both
-    models.
+    continuous-batching DecodeEngine. ALL device work — including the
+    tower encode and the host->device frame transfer — happens inside the
+    actor op, preserving the one-dispatch-thread rule across both models.
+
+    Requires a NON-streaming tower: a streaming tower holds per-session
+    context, so independent concurrent requests would contaminate each
+    other's vision features (and a linear-cache tower would eventually
+    reject all traffic once cumulative frames pass its capacity).
     """
+
+    _PREFIX = "qa"
 
     def __init__(self, model, host: str = "127.0.0.1", port: int = 0,
                  **engine_kw):
         from .lm_serving import DecodeEngine
 
-        super().__init__(host, port)
+        if getattr(model.tower, "streaming_mode", False):
+            raise ValueError(
+                "VideoQAServer requires a non-streaming tower "
+                "(TimesformerVisionTower(..., streaming_mode=False)): "
+                "streaming towers hold per-session context that would leak "
+                "across independent HTTP requests"
+            )
+        _HTTPServerBase.__init__(self, host, port)
         self._model = model  # downstream.videoqa.LlavaQwenModel
         self._engine = DecodeEngine(model.params["lm"], model.lm_cfg,
                                     **engine_kw)
 
-    def _tick_has_work(self) -> bool:
-        e = self._engine
-        return bool(e._pending) or any(
-            sid is not None for sid in e._slot_sid
-        )
+    def _op_ask(self, e, prompt_ids, frames, max_new):
+        # runs on the actor thread: host->device transfer, tower forward,
+        # projector, splice, then admission — all device work on this one
+        # thread
+        import jax.numpy as jnp
 
-    @staticmethod
-    def _op_poll(e, rid):
-        return e.poll(rid)
-
-    @staticmethod
-    def _op_stats(e):
-        return {
-            "slots_occupied": sum(s is not None for s in e._slot_sid),
-            "pending": len(e._pending),
-        }
-
-    def _op_ask(self, e, prompt_ids, pixel_values, max_new):
-        # runs on the actor thread: tower forward + projector + splice,
-        # then admission — all device work stays on this one thread
-        emb = self._model.prompt_embeds(prompt_ids, pixel_values)
+        px = jnp.asarray(frames, jnp.float32)[None]
+        emb = self._model.prompt_embeds(prompt_ids, px)
         if max_new is None:
             return e.open(np.asarray(emb))
         return e.open(np.asarray(emb), max_new_tokens=max_new)
 
-    def start(self):
-        self._actor = _EngineActor(self._engine, self._tick_has_work)
-        server = self
-
-        class Handler(_JSONHandler):
-            def do_POST(self):
-                parts = [p for p in self.path.split("/") if p]
-
-                def run():
-                    if parts == ["qa"]:
-                        import jax.numpy as jnp
-
-                        b = self._body()
-                        raw = base64.b64decode(b["frames_b64"])
-                        frames = np.frombuffer(
-                            raw, dtype=np.dtype(b.get("dtype", "float32"))
-                        ).reshape(b["shape"])
-                        px = jnp.asarray(frames, jnp.float32)[None]
-                        ids = np.asarray(b["prompt_ids"], np.int64)
-                        rid = server._actor.call(
-                            server._op_ask, ids, px,
-                            b.get("max_new_tokens"),
-                        )
-                        return self._json(200, {"rid": rid})
-                    return None  # 404
-
-                self._guarded(run)
-
-            def do_GET(self):
-                parts = [p for p in self.path.split("/") if p]
-
-                def run():
-                    if parts == ["healthz"]:
-                        return self._json(200, server._healthz_payload(
-                            server._engine.slots, server._op_stats
-                        ))
-                    if (len(parts) == 3 and parts[0] == "qa"
-                            and parts[2] == "tokens"):
-                        try:
-                            rid = int(parts[1])
-                        except ValueError:
-                            return None  # 404
-                        toks, done = server._actor.call(
-                            server._op_poll, rid
-                        )
-                        return self._json(
-                            200, {"tokens": [int(t) for t in toks],
-                                  "done": bool(done)},
-                        )
-                    return None  # 404
-
-                self._guarded(run)
-
-        return self._start_http(Handler)
+    def _post_open(self, body: dict) -> int:
+        raw = base64.b64decode(body["frames_b64"])
+        frames = np.frombuffer(
+            raw, dtype=np.dtype(body.get("dtype", "float32"))
+        ).reshape(body["shape"])
+        ids = np.asarray(body["prompt_ids"], np.int64)
+        return self._actor.call(
+            self._op_ask, ids, frames, body.get("max_new_tokens")
+        )

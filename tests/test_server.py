@@ -256,6 +256,14 @@ def test_videoqa_server_end_to_end():
                                             max_new_tokens=3)[0]]
             for p, v in zip(prompts, videos)]
 
+    # a streaming tower holds per-session context: rejected at construction
+    with pytest.raises(ValueError, match="non-streaming"):
+        VideoQAServer(VQ.LlavaQwenModel(
+            tower=TimesformerVisionTower(TOWER_CFG, tower_params,
+                                         streaming_mode=True),
+            lm_cfg=lm_cfg, params={"projector": proj, "lm": lm_params},
+        ))
+
     srv = VideoQAServer(model, port=0, slots=2, capacity=32,
                         max_new_tokens=3, prefill_buckets=(8, 16)).start()
     try:
