@@ -98,6 +98,18 @@ class DecodeEngine:
         self._done: set = set()
         self._budget: Dict[int, int] = {}  # sid -> remaining new tokens
         self._next_sid = 0
+        # SYNC-FREE fast path: without an eos_token_id every finish is
+        # count-based (budget / capacity), so no tick ever needs a token
+        # VALUE on the host — sampled tokens stay device-resident, feed the
+        # next step directly, and drain to the results in one bulk
+        # transfer at poll time. With the tunnel's ~1 ms dispatch latency a
+        # per-tick sync would dominate the step itself.
+        self._sync_free = eos_token_id is None
+        self._last_tok_dev = jnp.zeros((slots,), jnp.int32)
+        # stash entries: (device tokens, slot->sid map) per tick, or
+        # (device scalar, sid) per prefill
+        self._stash: List[Tuple[jnp.ndarray, object]] = []
+        self._stash_limit = 512
 
     # -- compiled programs --------------------------------------------------
     def _select_fn(self):
@@ -238,9 +250,10 @@ class DecodeEngine:
         self._pending.append((sid, emb))
         return sid
 
-    def _run_prefill(self, sid: int, emb: np.ndarray) -> Tuple[int, dict]:
+    def _run_prefill(self, sid: int, emb: np.ndarray):
         """Chunked prefill on a fresh batch-1 cache; returns (first
-        generated token, filled small cache)."""
+        generated token — a DEVICE scalar, unsynced — and the filled
+        small cache)."""
         # headroom of one bucket past capacity: the LAST chunk's padded
         # append may overhang (pos + lb > capacity), and a capacity-sized
         # cache would let dynamic_update_slice CLAMP the start, silently
@@ -261,7 +274,7 @@ class DecodeEngine:
                 jnp.asarray(sid, jnp.int32),
             )
             pos += lc
-        return int(tok), small
+        return tok, small
 
     def _admit(self) -> int:
         """Admit pending prompts while free slots remain. Loops so a
@@ -283,10 +296,16 @@ class DecodeEngine:
                 jnp.asarray(s, jnp.int32), jnp.asarray(true_len, jnp.int32),
             )
             self._slot_sid[s] = sid
-            self._last_tok[s] = tok
             self._host_len[s] = true_len
             self._host_gen[s] = 1  # the prefill token used key n=0
-            self._emit(s, tok)
+            if self._sync_free:
+                self._last_tok_dev = self._last_tok_dev.at[s].set(tok)
+                self._stash.append((tok, sid))
+                self._bookkeep(s)
+            else:
+                t = int(tok)  # EOS checking needs the value: sync here
+                self._last_tok[s] = t
+                self._emit(s, t)
             n += 1
         return n
 
@@ -298,6 +317,29 @@ class DecodeEngine:
         if eos or self._budget[sid] <= 0:
             self._done.add(sid)
             self._slot_sid[s] = None
+
+    def _bookkeep(self, s: int):
+        """Count-based finish accounting for the sync-free path (token
+        values are still on the device)."""
+        sid = self._slot_sid[s]
+        self._budget[sid] -= 1
+        if self._budget[sid] <= 0:
+            self._done.add(sid)
+            self._slot_sid[s] = None
+
+    def _drain_stash(self) -> None:
+        if not self._stash:
+            return
+        entries, self._stash = self._stash, []
+        vals = jax.device_get([e[0] for e in entries])  # one bulk fetch
+        for (_, m), v in zip(entries, vals):
+            if isinstance(m, int):  # prefill scalar: m is the sid
+                if m in self._results:
+                    self._results[m].append(int(v))
+            else:  # tick row: m maps slot -> sid (None = idle)
+                for s, sid in enumerate(m):
+                    if sid is not None and sid in self._results:
+                        self._results[sid].append(int(v[s]))
 
     def tick(self) -> bool:
         """Retire capacity-full slots, admit pending prompts, then decode
@@ -322,17 +364,41 @@ class DecodeEngine:
             [sid if sid is not None else 0 for sid in self._slot_sid],
             np.int32,
         )
+        toks_in = (self._last_tok_dev if self._sync_free
+                   else jnp.asarray(self._last_tok))
+        # _host_gen MUST be snapshotted: on the CPU backend jnp.asarray of
+        # a numpy array is ZERO-COPY (the device buffer aliases host
+        # memory), and the sync-free path mutates _host_gen in place right
+        # after this async dispatch — the program would read the
+        # post-increment counts and sample with the wrong fold_in keys.
+        # (The synced path never saw this only because np.asarray(toks)
+        # blocked until the program had consumed its inputs.)
         toks, self._cache = self._decode(
-            self.params, jnp.asarray(self._last_tok), self._cache,
+            self.params, toks_in, self._cache,
             jnp.asarray(active), jnp.asarray(sids),
-            jnp.asarray(self._host_gen),
+            jnp.asarray(self._host_gen.copy()),
         )
-        toks = np.asarray(toks)
-        for s in active_slots:
-            self._host_len[s] += 1
-            self._host_gen[s] += 1
-            self._last_tok[s] = toks[s]
-            self._emit(s, int(toks[s]))
+        if self._sync_free:
+            # tokens never touch the host: they feed the next step and
+            # drain to results in bulk at poll time
+            self._last_tok_dev = toks
+            self._stash.append(
+                (toks, [self._slot_sid[s] if s in active_slots else None
+                        for s in range(self.slots)])
+            )
+            for s in active_slots:
+                self._host_len[s] += 1
+                self._host_gen[s] += 1
+                self._bookkeep(s)
+            if len(self._stash) >= self._stash_limit:
+                self._drain_stash()  # bound device-resident outputs
+        else:
+            toks = np.asarray(toks)
+            for s in active_slots:
+                self._host_len[s] += 1
+                self._host_gen[s] += 1
+                self._last_tok[s] = toks[s]
+                self._emit(s, int(toks[s]))
         return True
 
     def poll(self, sid: int) -> Tuple[List[int], bool]:
@@ -342,6 +408,7 @@ class DecodeEngine:
         the engine stays O(live requests); a reclaimed id keeps answering
         ([], True) by absence."""
         assert 0 <= sid < self._next_sid, f"unknown request {sid}"
+        self._drain_stash()  # sync-free path: bulk-fetch stashed tokens
         if sid not in self._results:  # reclaimed: finished earlier
             return [], True
         out = self._results[sid]
