@@ -417,3 +417,45 @@ def test_decode_engine_eos_and_capacity(lm):
     assert done
     # prefill consumed 3 rows; decodes fill the remaining 5 exactly
     assert len(toks) == 1 + 5  # first token from prefill + 5 decodes
+
+
+def test_sync_free_path_matches_forced_sync(lm):
+    """Engines without an eos_token_id run SYNC-FREE (tokens stay on the
+    device, bulk-drained at poll). Pin three contracts of that path:
+
+    * token streams equal the same engine forced onto the per-tick
+      synced path (``_sync_free=False``);
+    * mid-flight poll() drains the prefix generated so far and the
+      stream continues correctly afterwards;
+    * the in-tick stash-limit drain (bounding device-resident outputs)
+      does not disturb results.
+    """
+    cfg, params = lm
+    rng = np.random.default_rng(77)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)) for n in (3, 6, 2)]
+    kw = dict(capacity=24, max_new_tokens=6, prefill_buckets=(4, 8),
+              temperature=0.6, seed=9)
+
+    free = DecodeEngine(params, cfg, slots=2, **kw)
+    assert free._sync_free
+    free._stash_limit = 2  # exercise the in-tick bounded drain
+    sf = [free.open(_emb(params, p)) for p in prompts]
+
+    # poll mid-flight: after 2 ticks the admitted streams must expose
+    # their prefix (prefill token + decoded so far) without corruption
+    free.tick(); free.tick()
+    prefix0, done0 = free.poll(sf[0])
+    assert not done0 and 1 <= len(prefix0) <= 3
+    free.run_until_idle()
+    out_free = {s: prefix0 + free.poll(s)[0] if s == sf[0]
+                else free.poll(s)[0] for s in sf}
+
+    synced = DecodeEngine(params, cfg, slots=2, **kw)
+    synced._sync_free = False  # force the per-tick host sync path
+    ss = [synced.open(_emb(params, p)) for p in prompts]
+    synced.run_until_idle()
+    out_sync = {s: synced.poll(s)[0] for s in ss}
+
+    for a, b in zip(sf, ss):
+        assert out_free[a] == out_sync[b], (out_free[a], out_sync[b])
+        assert len(out_free[a]) == 6
