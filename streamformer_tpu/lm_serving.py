@@ -61,13 +61,23 @@ class DecodeEngine:
         top_p: Optional[float] = None,
         seed: int = 0,
         cache_dtype: Optional[str] = None,
+        eos_interval: int = 8,
     ):
         """``temperature=0`` (default) decodes greedily. With
         ``temperature>0``, tokens are sampled from the tempered softmax,
         optionally truncated by ``top_k`` and/or nucleus ``top_p``.
         Sampling is reproducible PER REQUEST: the key is
         fold_in(fold_in(seed, sid), n_generated), independent of slot
-        placement or what else is in flight."""
+        placement or what else is in flight.
+
+        ``eos_interval`` — with an ``eos_token_id``, how many ticks may
+        pass between EOS checks. ``>1`` keeps the engine on the sync-free
+        path (tokens stay device-resident; EOS is detected lazily at the
+        periodic drain, delivered output trimmed at the first EOS), at
+        the cost of up to ``eos_interval - 1`` wasted decode steps per
+        finishing stream — a bargain when per-tick host syncs dominate
+        the step (the TPU tunnel's ~1 ms dispatch latency vs a ~0.5 ms
+        decode). ``1`` restores the legacy check-every-token path."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -98,18 +108,23 @@ class DecodeEngine:
         self._done: set = set()
         self._budget: Dict[int, int] = {}  # sid -> remaining new tokens
         self._next_sid = 0
-        # SYNC-FREE fast path: without an eos_token_id every finish is
-        # count-based (budget / capacity), so no tick ever needs a token
-        # VALUE on the host — sampled tokens stay device-resident, feed the
-        # next step directly, and drain to the results in one bulk
-        # transfer at poll time. With the tunnel's ~1 ms dispatch latency a
-        # per-tick sync would dominate the step itself.
-        self._sync_free = eos_token_id is None
+        # SYNC-FREE fast path: sampled tokens stay device-resident, feed
+        # the next step directly, and drain to the results in one bulk
+        # transfer at poll time (and, with an eos_token_id, every
+        # eos_interval ticks so EOS streams finish at most that late).
+        # Finish accounting per tick is count-based (budget / capacity);
+        # EOS finishes happen at the drain, which trims the delivered
+        # tokens at the first EOS. With the tunnel's ~1 ms dispatch
+        # latency a per-tick sync would dominate the step itself.
+        self.eos_interval = max(1, int(eos_interval))
+        self._sync_free = eos_token_id is None or self.eos_interval > 1
         self._last_tok_dev = jnp.zeros((slots,), jnp.int32)
         # stash entries: (device tokens, slot->sid map) per tick, or
         # (device scalar, sid) per prefill
         self._stash: List[Tuple[jnp.ndarray, object]] = []
         self._stash_limit = 512
+        self._ticks_since_drain = 0
+        self._eos_trimmed: set = set()  # sids finished by a drained EOS
 
     # -- compiled programs --------------------------------------------------
     def _select_fn(self):
@@ -330,16 +345,32 @@ class DecodeEngine:
     def _drain_stash(self) -> None:
         if not self._stash:
             return
+        self._ticks_since_drain = 0
         entries, self._stash = self._stash, []
         vals = jax.device_get([e[0] for e in entries])  # one bulk fetch
         for (_, m), v in zip(entries, vals):
             if isinstance(m, int):  # prefill scalar: m is the sid
-                if m in self._results:
-                    self._results[m].append(int(v))
+                self._deliver(m, int(v))
             else:  # tick row: m maps slot -> sid (None = idle)
                 for s, sid in enumerate(m):
-                    if sid is not None and sid in self._results:
-                        self._results[sid].append(int(v[s]))
+                    if sid is not None:
+                        self._deliver(sid, int(v[s]))
+
+    def _deliver(self, sid: int, tok: int) -> None:
+        """Append one drained token to a stream, finishing it at EOS.
+        Tokens decoded after an already-seen EOS (the lazy-check
+        overshoot) are dropped; the overshoot cache rows never matter —
+        the stream is done and its slot is reclaimed here (unless
+        count-based finish already recycled it to another request)."""
+        if sid in self._eos_trimmed or sid not in self._results:
+            return
+        self._results[sid].append(tok)
+        if self.eos_token_id is not None and tok == self.eos_token_id:
+            self._eos_trimmed.add(sid)
+            self._done.add(sid)
+            for s in range(self.slots):
+                if self._slot_sid[s] == sid:
+                    self._slot_sid[s] = None
 
     def tick(self) -> bool:
         """Retire capacity-full slots, admit pending prompts, then decode
@@ -390,8 +421,11 @@ class DecodeEngine:
                 self._host_len[s] += 1
                 self._host_gen[s] += 1
                 self._bookkeep(s)
-            if len(self._stash) >= self._stash_limit:
-                self._drain_stash()  # bound device-resident outputs
+            self._ticks_since_drain += 1
+            if (len(self._stash) >= self._stash_limit  # bound device mem
+                    or (self.eos_token_id is not None
+                        and self._ticks_since_drain >= self.eos_interval)):
+                self._drain_stash()
         else:
             toks = np.asarray(toks)
             for s in active_slots:
@@ -417,6 +451,7 @@ class DecodeEngine:
             self._results.pop(sid)
             self._budget.pop(sid, None)
             self._done.discard(sid)
+            self._eos_trimmed.discard(sid)
         else:
             self._results[sid] = []
         return out, done
