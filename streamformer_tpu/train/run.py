@@ -298,9 +298,13 @@ def main():
         metrics_lib.write_log_line(
             args.output_dir, {"epoch": epoch, **{k: float(v) for k, v in stats.items()}}
         )
+        # async: disk I/O overlaps the next epoch; the preemption save above
+        # stays blocking (durability before exit). atexit + auto_resume's
+        # latest_checkpoint() barrier make the final save safe.
         ckpt_lib.save_checkpoint(
             args.output_dir, epoch, state.params, state.opt_state,
             step=int(state.step), keep_every=args.save_ckpt_freq,
+            block=False,
         )
         if args.eval_freq and eval_ds and (epoch + 1) % args.eval_freq == 0:
             from streamformer_tpu.eval.validate import evaluate_multitask
@@ -316,6 +320,7 @@ def main():
             print(f"epoch {epoch} eval:", flat)
             metrics_lib.write_log_line(args.output_dir,
                                        {"epoch": epoch, **flat})
+    ckpt_lib.wait_for_checkpoints()
     print("done")
 
 

@@ -374,3 +374,41 @@ def test_checkpoint_micro_roundtrip(model, tmp_path):
     }
     restored = ckpt_lib.auto_resume(out, like)
     assert restored["meta"] == {"epoch": 3, "step": 17, "micro": 5}
+
+
+def test_async_checkpoint_roundtrip(model, tmp_path):
+    """Non-blocking saves (block=False): the train loop schedules disk I/O on
+    orbax's background thread and keeps going; wait_for_checkpoints() (also
+    called from latest_checkpoint/restore) is the durability barrier. Mutating
+    the live params right after save must not corrupt the staged copy — orbax
+    stages the host copy synchronously inside save()."""
+    from streamformer_tpu.train import checkpoint as ckpt_lib
+
+    tx = optax.sgd(0.1)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    out = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    saved_scale = np.asarray(
+        state.params["backbone"]["post_layernorm"]["scale"]
+    ).copy()
+    ckpt_lib.save_checkpoint(out, 0, state.params, None, step=1, block=False)
+    # "next epoch" mutates params while the save may still be in flight
+    mutated = jax.tree.map(lambda x: x + 1.0, state.params)
+    ckpt_lib.save_checkpoint(out, 1, mutated, None, step=2, block=False)
+    ckpt_lib.wait_for_checkpoints()
+    assert ckpt_lib.latest_checkpoint(out) == 1
+    like = {"params": state.params, "opt_state": {},
+            "meta": {"epoch": np.asarray(0, np.int64),
+                     "step": np.asarray(0, np.int64),
+                     "micro": np.asarray(0, np.int64)}}
+    ep0 = ckpt_lib.restore_checkpoint(out, 0, like)
+    np.testing.assert_array_equal(
+        np.asarray(ep0["params"]["backbone"]["post_layernorm"]["scale"]),
+        saved_scale,
+    )
+    ep1 = ckpt_lib.restore_checkpoint(out, 1, like)
+    np.testing.assert_allclose(
+        np.asarray(ep1["params"]["backbone"]["post_layernorm"]["scale"]),
+        saved_scale + 1.0,
+        rtol=1e-6,
+    )
