@@ -45,6 +45,7 @@ class VideoReader:
 
         order = np.argsort(indices)
         out: dict = {}
+        last = None  # most recent successfully decoded frame (sorted order)
         for k in order:
             idx = int(indices[k])
             if idx != self._pos:
@@ -52,14 +53,14 @@ class VideoReader:
                 self._pos = idx
             ok, frame = self._cap.read()
             if not ok:
-                # salvage: reuse last decoded frame if any, else zeros later
-                frame = out[order[k - 1]] if k > 0 and (k - 1) in out else None
-                if frame is None:
-                    frame = np.zeros((224, 224, 3), np.uint8)
-                out[k] = frame
+                # salvage: reuse the last decoded frame if any, else zeros
+                out[k] = last if last is not None else np.zeros(
+                    (224, 224, 3), np.uint8
+                )
                 continue
             self._pos = idx + 1
-            out[k] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            last = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            out[k] = last
         return np.stack([out[k] for k in range(len(indices))])
 
     def close(self):

@@ -150,6 +150,13 @@ def test_video_reader_and_samplers(data_root):
     assert batch.shape == (3, 48, 64, 3)
     vr.close()
 
+    # failed read (index past EOF) salvages the last decoded frame — even
+    # when the request list is unsorted, so "last" is in SORTED order
+    vr = video_io.VideoReader(path)
+    b = vr.get_batch([50, 3])
+    assert (b[0] == b[1]).all() and b[1].any()
+    vr.close()
+
     idx = video_io.sparse_sample_indices(100, 8, "validation")
     assert len(idx) == 8 and (np.diff(idx) > 0).all()
     idx_t0 = video_io.sparse_sample_indices(
