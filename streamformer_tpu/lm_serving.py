@@ -119,6 +119,15 @@ class DecodeEngine:
         self.eos_interval = max(1, int(eos_interval))
         self._sync_free = eos_token_id is None or self.eos_interval > 1
         self._last_tok_dev = jnp.zeros((slots,), jnp.int32)
+        # device mirrors of the tick operands: occupancy arrays re-upload
+        # only when the slot map changes, and the fold_in counts advance
+        # inside the decode program — a steady-state tick is ONE dispatch
+        # with zero host->device transfers (each small upload costs ~1 ms
+        # through the tunnel, several times the decode itself)
+        self._occupancy: Tuple[Optional[int], ...] = tuple([None] * slots)
+        self._active_dev = jnp.zeros((slots,), bool)
+        self._sids_dev = jnp.zeros((slots,), jnp.int32)
+        self._counts_dev = jnp.zeros((slots,), jnp.int32)
         # stash entries: (device tokens, slot->sid map) per tick, or
         # (device scalar, sid) per prefill
         self._stash: List[Tuple[jnp.ndarray, object]] = []
@@ -164,7 +173,7 @@ class DecodeEngine:
     def _make_decode(self):
         cfg, select, keys_of = self.cfg, self._select_fn(), self._keys
 
-        @partial(jax.jit, donate_argnums=(2,))
+        @partial(jax.jit, donate_argnums=(2, 5))
         def step(params, toks, cache, active, sids, counts):
             emb = LM.embed_tokens(params, toks)[:, None]  # (S, 1, D)
             out, cache = LM.forward(params, emb, cfg, cache=cache)
@@ -177,7 +186,8 @@ class DecodeEngine:
             ntok = jax.vmap(select)(
                 out["logits"][:, -1], keys_of(sids, counts)
             )
-            return ntok, cache
+            # counts advance ON DEVICE so steady-state ticks upload nothing
+            return ntok, cache, counts + active.astype(counts.dtype)
 
         return step
 
@@ -389,25 +399,29 @@ class DecodeEngine:
                         if self._slot_sid[s] is not None]
         if not active_slots:
             return admitted > 0  # prefill-only tick still made progress
-        active = np.zeros(self.slots, bool)
-        active[active_slots] = True
-        sids = np.asarray(
-            [sid if sid is not None else 0 for sid in self._slot_sid],
-            np.int32,
-        )
+        occupancy = tuple(self._slot_sid)
+        if occupancy != self._occupancy:
+            self._occupancy = occupancy
+            active = np.zeros(self.slots, bool)
+            active[active_slots] = True
+            sids = np.asarray(
+                [sid if sid is not None else 0 for sid in self._slot_sid],
+                np.int32,
+            )
+            self._active_dev = jnp.asarray(active)
+            self._sids_dev = jnp.asarray(sids)
+            # _host_gen MUST be snapshotted: on the CPU backend jnp.asarray
+            # of a numpy array is ZERO-COPY (the device buffer aliases host
+            # memory), and the sync-free path mutates _host_gen in place
+            # right after the async dispatch — the program would read the
+            # post-increment counts and sample with the wrong fold_in keys.
+            self._counts_dev = jnp.asarray(self._host_gen.copy()
+                                           .astype(np.int32))
         toks_in = (self._last_tok_dev if self._sync_free
                    else jnp.asarray(self._last_tok))
-        # _host_gen MUST be snapshotted: on the CPU backend jnp.asarray of
-        # a numpy array is ZERO-COPY (the device buffer aliases host
-        # memory), and the sync-free path mutates _host_gen in place right
-        # after this async dispatch — the program would read the
-        # post-increment counts and sample with the wrong fold_in keys.
-        # (The synced path never saw this only because np.asarray(toks)
-        # blocked until the program had consumed its inputs.)
-        toks, self._cache = self._decode(
+        toks, self._cache, self._counts_dev = self._decode(
             self.params, toks_in, self._cache,
-            jnp.asarray(active), jnp.asarray(sids),
-            jnp.asarray(self._host_gen.copy()),
+            self._active_dev, self._sids_dev, self._counts_dev,
         )
         if self._sync_free:
             # tokens never touch the host: they feed the next step and
