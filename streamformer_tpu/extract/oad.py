@@ -172,12 +172,16 @@ def extract_features_batched(
     cache = encoder.init_cache(cfg, batch=slots, capacity=capacity,
                                per_stream_len=True)
     pooled_chunks, window = [], []
+    # admit is all-False on every steady-state tick: keep ONE device copy
+    # and upload only on (rare) admission ticks — each small host->device
+    # transfer costs ~1 ms of tunnel latency against a ~4 ms step
+    admit_idle = jnp.zeros((slots,), bool)
     for admit, feeds in ticks:
         frame = np.zeros((slots, 1, c, hh, ww), dt)
         for s, v, f in feeds:
             frame[s, 0] = clips[v][f]
         out, cache = step(params, jnp.asarray(frame), cache,
-                          jnp.asarray(admit))
+                          jnp.asarray(admit) if admit.any() else admit_idle)
         window.append(out["pooler_output"])  # (slots, 1, D) on device
         if len(window) >= 1024:  # bound device-resident output memory
             pooled_chunks.append(
