@@ -6,6 +6,24 @@ JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
    "mfu": ..., "tflops": ..., "torch_reference_fps_measured": ...}
 
+Evidence contract (VERDICT r3 items 1 & 7):
+
+* The headline is measured FIRST and seeded into ``_PARTIAL``; everything
+  after it runs inside ``try``/``finally`` so no secondary section — however
+  it fails — can prevent the measured headline from emitting (BENCH_r03 was
+  lost exactly this way: an unguarded 512-context RESOURCE_EXHAUSTED killed
+  the process after the headline had already been measured).
+* Every secondary section runs through ``_section`` (guarded, logged) and
+  allocates its device buffers in its own function scope so they free on
+  return — no section inherits another's HBM residue. The 7.4 GB 512-context
+  section runs FIRST among the secondaries, when HBM is cleanest.
+* The watchdog (device/tunnel stall) never lets stale numbers occupy live
+  fields: if nothing was measured this run it emits ``"value": null`` with
+  the last good run's numbers under ``"stale_fallback"`` — validated against
+  this host and a freshness window — so a parser always sees "no measurement
+  this run" first. ``BENCH_LAST_GOOD.json`` is a local artifact (gitignored),
+  stamped with host/commit/timestamp.
+
 Timing notes: on the axon TPU tunnel ``block_until_ready`` does not
 synchronize, so we use two-point differencing (K1 vs K2 chained steps, scalar
 fetch as the sync barrier) which cancels the tunnel roundtrip.
@@ -16,8 +34,7 @@ Baselines (BASELINE.md records the protocol):
   path (downstream/VideoQA/.../timesformer_encoder.py with HF DynamicCache,
   the test_kvcache.py contract) run on THIS host's CPU, eager fp32, batch 1,
   per-frame encode at a warmed 16-frame context. Measured, not estimated.
-  Set STREAMFORMER_BENCH_SKIP_TORCH=1 to skip (the value is then the last
-  recorded measurement from BASELINE.md).
+  Set STREAMFORMER_BENCH_SKIP_TORCH=1 to skip.
 * ``vs_baseline``: ratio against an ESTIMATED H100 streaming rate of 300
   frames/sec/chip for the same eager-torch path (dispatch-bound; the
   reference publishes no throughput numbers, SURVEY §6). >= 2.0 meets the
@@ -28,6 +45,8 @@ Baselines (BASELINE.md records the protocol):
 
 import json
 import os
+import platform
+import subprocess
 import sys
 import threading
 import time
@@ -37,11 +56,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("STREAMFORMER_BENCH_CPU") == "1":
+    # dev smoke: the profile pins JAX_PLATFORMS=axon (which overrides the
+    # env var), so forcing CPU needs the in-process config call
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: every jit program in this bench is cached
 # under the repo so re-runs (and the driver's run after our warm-up) skip the
 # 20-40s/program cold compiles that previously forced budget-guard skips of
 # secondary metrics (VERDICT r2 "what's weak" #1).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_REPO, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -51,6 +76,7 @@ from streamformer_tpu.models import encoder
 from streamformer_tpu.utils import profiling
 
 H100_REFERENCE_FPS_EST = 300.0
+_HEADLINE_METRIC = "frames/sec/chip streaming encode (224^2, KV-cache)"
 
 # Watchdog: the one JSON line MUST emit even if the device (or its tunnel)
 # stalls mid-metric — a hung secondary measurement must not erase the
@@ -61,6 +87,9 @@ _PARTIAL: dict = {}
 _EMITTED = threading.Event()
 _DEADLINE_S = float(os.environ.get("STREAMFORMER_BENCH_DEADLINE_S", "2400"))
 
+_LAST_GOOD = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
+_LAST_GOOD_MAX_AGE_S = 14 * 86400.0
+
 
 def _emit(result: dict) -> None:
     if not _EMITTED.is_set():
@@ -68,9 +97,30 @@ def _emit(result: dict) -> None:
         print(json.dumps(result), flush=True)
 
 
-_LAST_GOOD = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
-)
+def _git_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _load_stale_fallback() -> dict:
+    """Last successful run's numbers, ONLY if recorded on this host recently.
+    Returned for the ``stale_fallback`` field — never for live fields."""
+    try:
+        with open(_LAST_GOOD) as f:
+            prev = json.load(f)
+        meta = prev.get("_meta", {})
+        if meta.get("host") != platform.node():
+            return {}
+        if time.time() - float(meta.get("timestamp", 0)) > _LAST_GOOD_MAX_AGE_S:
+            return {}
+        return prev
+    except Exception:
+        return {}
 
 
 def _watchdog():
@@ -78,28 +128,19 @@ def _watchdog():
         return
     out = dict(_PARTIAL)
     if "value" not in out:
-        # nothing measured this run (tunnel outages can stall the very
-        # first device op for hours) — fall back to the last successful
-        # run's numbers, explicitly marked stale, rather than a zero line
-        # that misreads as a performance collapse
-        try:
-            with open(_LAST_GOOD) as f:
-                prev = json.load(f)
-            prev.pop("note", None)
-            prev["note_stale"] = (
-                "values are from the last SUCCESSFUL bench run on this "
-                "host (this run's device stalled before any measurement)"
-            )
-            prev.update(out)
-            out = prev
-        except Exception:
-            out = {
-                "metric": "frames/sec/chip streaming encode (224^2, "
-                          "KV-cache)",
-                "value": 0.0,
-                "unit": "frames/sec/chip",
-                "vs_baseline": 0.0,
-            }
+        # nothing measured this run (tunnel outages can stall the very first
+        # device op for hours). Live fields stay null — a parser must see
+        # "no measurement this run"; the previous run's numbers ride along
+        # under stale_fallback for a human reader only.
+        out = {
+            "metric": _HEADLINE_METRIC,
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+        }
+        stale = _load_stale_fallback()
+        if stale:
+            out["stale_fallback"] = stale
     out["note"] = (
         f"watchdog: device stalled; partial results emitted at "
         f"{_DEADLINE_S:.0f}s"
@@ -107,9 +148,17 @@ def _watchdog():
     _emit(out)
     sys.stdout.flush()
     os._exit(3)
-# last measured same-host torch reference rate (see measure_torch_reference;
-# protocol in BASELINE.md) — used when STREAMFORMER_BENCH_SKIP_TORCH=1
-TORCH_REFERENCE_FPS_LAST_MEASURED = None
+
+
+def _section(name: str, fn) -> None:
+    """Run one secondary measurement; failures log and move on (VERDICT r3
+    item 1b: every section guarded — results land in _PARTIAL, never in
+    section-local state a crash could strand)."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — the bench line must survive
+        print(f"# {name} section skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def measure_torch_reference(batch: int = 1, context: int = 16, steps: int = 5):
@@ -199,42 +248,59 @@ def main():
         ),
         dtype=jnp.dtype(cfg.dtype),
     )
+    reps = 3
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(params, frame, c):
-        out, c = encoder.streaming_forward(params, frame, c, cfg)
-        return out["pooler_output"], c
+    def two_point(timed, ka=k1, kb=k2):
+        ta = min(timed(ka) for _ in range(reps))
+        tb = min(timed(kb) for _ in range(reps))
+        return (tb - ta) / (kb - ka)
 
-    state = {"cache": encoder.init_cache(cfg, batch=batch)}
-    pooled, state["cache"] = step(params, frame, state["cache"])  # compile
-    _ = float(jnp.sum(pooled))
-
-    def timed(k):
-        t0 = time.perf_counter()
-        pooled = None
-        for _ in range(k):
+    # ---- headline: 16f-context streaming encode -------------------------
+    try:
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, frame, c):
             # steady-state 16f context: hold the cache at capacity-1 so each
             # step attends the full 16-frame window
-            state["cache"] = {**state["cache"],
-                              "len": jnp.asarray(cfg.cache_capacity - 1, jnp.int32)}
-            pooled, state["cache"] = step(params, frame, state["cache"])
-        _ = float(jnp.sum(pooled))  # sync barrier through the tunnel
-        return time.perf_counter() - t0
+            c = {**c, "len": jnp.full((), cfg.cache_capacity - 1, jnp.int32)}
+            out, c = encoder.streaming_forward(params, frame, c, cfg)
+            return out["pooler_output"], c
 
-    reps = 3
-    t1 = min(timed(k1) for _ in range(reps))
-    t2 = min(timed(k2) for _ in range(reps))
-    dt = (t2 - t1) / (k2 - k1)
+        cache = encoder.init_cache(cfg, batch=batch)
+        pooled, cache = step(params, frame, cache)  # compile
+        _ = float(jnp.sum(pooled))
 
-    fps = batch / dt
-    flops = profiling.streaming_step_flops(cfg, batch, cfg.cache_capacity)
-    tflops = flops / dt / 1e12
-    mfu = tflops / 197.0 if on_tpu else float("nan")  # v5e bf16 peak
+        def timed(k):
+            nonlocal cache
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, cache = step(params, frame, cache)
+            _ = float(jnp.sum(pooled))  # sync barrier through the tunnel
+            return time.perf_counter() - t0
+
+        dt = two_point(timed)
+        del cache  # free the ~0.9 GB headline cache before the secondaries
+
+        fps = batch / dt
+        flops = profiling.streaming_step_flops(cfg, batch, cfg.cache_capacity)
+        tflops = flops / dt / 1e12
+        mfu = tflops / 197.0 if on_tpu else float("nan")  # v5e bf16 peak
+    except Exception as e:
+        # no headline: emit an honest null line and fail the run — stale or
+        # secondary numbers must never stand in for the north-star metric
+        _emit({
+            "metric": _HEADLINE_METRIC,
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        })
+        raise
 
     # headline measured: seed the watchdog's partial line so a later stall
-    # can no longer lose it
+    # or crash can no longer lose it
     _PARTIAL.update({
-        "metric": "frames/sec/chip streaming encode (224^2, KV-cache)",
+        "metric": _HEADLINE_METRIC,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
@@ -250,15 +316,49 @@ def main():
     def budget_left(limit_s):
         return time.perf_counter() - t_start < limit_s
 
+    # ---- secondary sections ---------------------------------------------
+    # Each allocates its device buffers in function scope (freed on return)
+    # and writes its result straight into _PARTIAL.
 
-    # int8 serving path: per-column int8 weights + dynamic per-row activation
-    # quant (ops/quant.py) — the step is MXU-bound, v5e int8 peak is 2x bf16
-    fps_int8 = None
-    if on_tpu and budget_left(1500):
+    def sec_512(cfg512, field):
+        """Long-context streaming (512-frame window, batch 2 — the bf16
+        512-cap cache at batch 8 exceeds HBM). Runs FIRST among the
+        secondaries: its ~7.4 GB cache wants the cleanest HBM. The decode is
+        HBM-bound on the KV reads; the int8-KV variant halves that traffic
+        (pos-major cache, fused dequant; rows padded to the 32-sublane int8
+        tile)."""
+        b512 = 2
+        frame512 = frame[:b512]
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step512(params, frame, c):
+            c = {**c, "len": jnp.full((), 511, jnp.int32)}
+            out, c = encoder.streaming_forward(params, frame, c, cfg512)
+            return out["pooler_output"], c
+
+        c512 = encoder.init_cache(cfg512, batch=b512)
+        pooled, c512 = step512(params, frame512, c512)
+        _ = float(jnp.sum(pooled))
+
+        def timed512(k):
+            nonlocal c512
+            t0 = time.perf_counter()
+            pooled = None
+            for _ in range(k):
+                pooled, c512 = step512(params, frame512, c512)
+            _ = float(jnp.sum(pooled))
+            return time.perf_counter() - t0
+
+        _PARTIAL[field] = round(b512 / two_point(timed512), 2)
+
+    def sec_int8():
+        """int8 serving path: per-column int8 weights + dynamic per-row
+        activation quant (ops/quant.py) — the step is MXU-bound, v5e int8
+        peak is 2x bf16."""
         from streamformer_tpu.ops import quant
 
-        qparams = jax.tree.map(lambda x: x, params)
-        qparams = quant.quantize_encoder_params(qparams)
+        qparams = quant.quantize_encoder_params(jax.tree.map(lambda x: x,
+                                                             params))
 
         @partial(jax.jit, donate_argnums=(2,))
         def step_q(qparams, frame, c):
@@ -279,17 +379,13 @@ def main():
             _ = float(jnp.sum(pooled))
             return time.perf_counter() - t0
 
-        tq1 = min(timed_q(k1) for _ in range(reps))
-        tq2 = min(timed_q(k2) for _ in range(reps))
-        fps_int8 = batch / ((tq2 - tq1) / (k2 - k1))
-        _PARTIAL["fps_int8_serving"] = round(fps_int8, 2)
+        _PARTIAL["fps_int8_serving"] = round(batch / two_point(timed_q), 2)
 
-    # unbounded streaming: ring (sliding-window) cache mode — same fused
-    # kernel with the plane write at slot (len mod C) and the
-    # slot-exclusion mask; len pinned deep past capacity so every step is
-    # post-wraparound steady state
-    fps_ring = None
-    if on_tpu and budget_left(1600):
+    def sec_ring():
+        """Unbounded streaming: ring (sliding-window) cache mode — same
+        fused kernel with the plane write at slot (len mod C) and the
+        slot-exclusion mask; len pinned deep past capacity so every step is
+        post-wraparound steady state."""
         cfg_ring = cfg.replace(cache_mode="ring", cache_layout="pos_major")
 
         @partial(jax.jit, donate_argnums=(2,))
@@ -311,17 +407,13 @@ def main():
             _ = float(jnp.sum(pooled))
             return time.perf_counter() - t0
 
-        tr1 = min(timed_r(k1) for _ in range(reps))
-        tr2 = min(timed_r(k2) for _ in range(reps))
-        fps_ring = batch / ((tr2 - tr1) / (k2 - k1))
-        _PARTIAL["fps_ring_unbounded"] = round(fps_ring, 2)
+        _PARTIAL["fps_ring_unbounded"] = round(batch / two_point(timed_r), 2)
 
-    # ragged serving (continuous batching): per-stream lengths — every
-    # batch row at its own position, one compiled program. Steady-state
-    # mixed positions pinned in-jit; beyond-reference capability (the
-    # torch reference's DynamicCache is lockstep-only).
-    fps_ragged = None
-    if on_tpu and budget_left(1650):
+    def sec_ragged():
+        """Ragged serving (continuous batching): per-stream lengths — every
+        batch row at its own position, one compiled program. Steady-state
+        mixed positions pinned in-jit; beyond-reference capability (the
+        torch reference's DynamicCache is lockstep-only)."""
         lens_mixed = [(3 + 7 * i) % cfg.cache_capacity for i in range(batch)]
 
         @partial(jax.jit, donate_argnums=(2,))
@@ -343,305 +435,366 @@ def main():
             _ = float(jnp.sum(pooled))
             return time.perf_counter() - t0
 
-        tg1 = min(timed_g(k1) for _ in range(reps))
-        tg2 = min(timed_g(k2) for _ in range(reps))
-        fps_ragged = batch / ((tg2 - tg1) / (k2 - k1))
-        _PARTIAL["fps_ragged_serving"] = round(fps_ragged, 2)
+        _PARTIAL["fps_ragged_serving"] = round(batch / two_point(timed_g), 2)
 
-    # training throughput: full fwd+bwd+adamw on the flagship encoder with
-    # an AR-style classification loss (16-frame clips, bf16). Soft time
-    # guard keeps the whole bench inside the driver budget.
-    train_cps = None
-    train_mfu = None
-    if on_tpu and budget_left(1700):
-        try:
-            import optax
+    def sec_engine_encode():
+        """StreamingEngine END-TO-END fps (VERDICT r3 item 2): the same
+        ragged step served through the engine's host loop (admit + queue +
+        stash). Compare against fps_ragged_serving — the gap is the host
+        tick cost."""
+        from streamformer_tpu.serving import StreamingEngine
 
-            tx = optax.adamw(1e-4)
-            w_cls = jnp.asarray(
-                np.random.default_rng(1).standard_normal(
-                    (cfg.hidden_size, 400)
-                ) * 0.02,
-                jnp.bfloat16,
-            )
-            clips = jnp.asarray(
-                np.random.default_rng(2).standard_normal(
-                    (batch, cfg.num_frames, 3, cfg.image_size, cfg.image_size)
-                ),
-                jnp.bfloat16,
-            )
-            labels = jnp.zeros((batch,), jnp.int32)
-            opt_state = tx.init(params)
+        eng = StreamingEngine(params, cfg, slots=batch, mode="linear",
+                              collect="pooled")
+        n_frames = cfg.cache_capacity - 1
+        clip = np.asarray(
+            np.random.default_rng(4).standard_normal(
+                (n_frames, 3, cfg.image_size, cfg.image_size)
+            ),
+            np.float32,
+        )
 
-            def loss_fn(p):
-                out = encoder.model_forward(p, clips, cfg)
-                logits = out["pooler_output"][:, -1] @ w_cls
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    logits.astype(jnp.float32), labels
-                ).mean()
+        def engine_run():
+            sids = [eng.open() for _ in range(batch)]
+            for s in sids:
+                eng.feed(s, clip)
+                eng.close(s)
+            t0 = time.perf_counter()
+            eng.run_until_idle()
+            total = sum(len(eng.poll(s)[0]) for s in sids)
+            return total / (time.perf_counter() - t0)
 
-            @jax.jit
-            def train_step(p, s):
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, s = tx.update(grads, s, p)
-                return optax.apply_updates(p, updates), s, loss
+        engine_run()  # warm: compile the engine step
+        _PARTIAL["fps_engine_streaming"] = round(
+            max(engine_run() for _ in range(2)), 2
+        )
 
-            p_t, opt_state, loss = train_step(params, opt_state)
+    def sec_train():
+        """Training throughput: full fwd+bwd+adamw on the flagship encoder
+        with an AR-style classification loss (16-frame clips, bf16). Params
+        and optimizer state are donated; the section works on its own param
+        copy so later sections keep the originals."""
+        import optax
+
+        tx = optax.adamw(1e-4)
+        w_cls = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (cfg.hidden_size, 400)
+            ) * 0.02,
+            jnp.bfloat16,
+        )
+        clips = jnp.asarray(
+            np.random.default_rng(2).standard_normal(
+                (batch, cfg.num_frames, 3, cfg.image_size, cfg.image_size)
+            ),
+            jnp.bfloat16,
+        )
+        labels = jnp.zeros((batch,), jnp.int32)
+        p_t = jax.tree.map(jnp.copy, params)
+        opt_state = tx.init(p_t)
+
+        def loss_fn(p):
+            out = encoder.model_forward(p, clips, cfg)
+            logits = out["pooler_output"][:, -1] @ w_cls
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            ).mean()
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        p_t, opt_state, loss = train_step(p_t, opt_state)
+        _ = float(loss)
+
+        def timed_t(k):
+            nonlocal p_t, opt_state
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(k):
+                p_t, opt_state, loss = train_step(p_t, opt_state)
             _ = float(loss)
+            return time.perf_counter() - t0
 
-            def timed_t(k):
-                nonlocal p_t, opt_state
-                t0 = time.perf_counter()
-                loss = None
-                for _ in range(k):
-                    p_t, opt_state, loss = train_step(p_t, opt_state)
-                _ = float(loss)
-                return time.perf_counter() - t0
+        dt_t = two_point(timed_t, 2, 6)
+        # fwd + bwd ~ 3x forward FLOPs; full clip = T-frame "step"
+        fl_t = 3 * profiling.streaming_step_flops(
+            cfg, batch, cfg.num_frames, t_new=cfg.num_frames
+        )
+        _PARTIAL["train_clips_per_sec"] = round(batch / dt_t, 2)
+        _PARTIAL["train_mfu"] = round(fl_t / dt_t / 1e12 / 197.0, 4)
 
-            tt1 = min(timed_t(2) for _ in range(reps))
-            tt2 = min(timed_t(6) for _ in range(reps))
-            dt_t = (tt2 - tt1) / 4
-            train_cps = batch / dt_t
-            # fwd + bwd ~ 3x forward FLOPs; full clip = T-frame "step"
-            fl_t = 3 * profiling.streaming_step_flops(
-                cfg, batch, cfg.num_frames, t_new=cfg.num_frames
+    def sec_preproc():
+        """BASELINE.json config #2: the on-device Kinetics train-augment
+        pipeline (rand_augment + random-resized-crop + flip + normalize +
+        random erasing), decoded-uint8 -> model input, batched 16-frame
+        clips."""
+        from streamformer_tpu.data.collate import make_train_augment
+
+        aug = make_train_augment(crop_size=cfg.image_size)
+        clips_u8 = jnp.asarray(
+            np.random.default_rng(3).integers(
+                0, 256, (batch, 16, 256, 320, 3), dtype=np.uint8
             )
-            train_mfu = fl_t / dt_t / 1e12 / 197.0
-            _PARTIAL["train_clips_per_sec"] = round(train_cps, 2)
-            _PARTIAL["train_mfu"] = round(train_mfu, 4)
-        except Exception as e:  # never break the bench line
-            print(f"# train-step bench skipped: {e}", file=sys.stderr)
+        )
+        rngk = jax.random.PRNGKey(0)
+        out = aug(rngk, clips_u8)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
 
-    # BASELINE.json config #2: the on-device Kinetics train-augment pipeline
-    # (rand_augment + random-resized-crop + flip + normalize + random
-    # erasing), decoded-uint8 -> model input, batched 16-frame clips
-    preproc_fps = None
-    if on_tpu and budget_left(1800):
-        try:
-            from streamformer_tpu.data.collate import make_train_augment
-
-            aug = make_train_augment(crop_size=cfg.image_size)
-            clips_u8 = jnp.asarray(
-                np.random.default_rng(3).integers(
-                    0, 256, (batch, 16, 256, 320, 3), dtype=np.uint8
-                )
-            )
-            rngk = jax.random.PRNGKey(0)
-            out = aug(rngk, clips_u8)
+        def timed_p(k):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(k):
+                out = aug(jax.random.fold_in(rngk, i), clips_u8)
             _ = float(jnp.sum(out.astype(jnp.float32)))
+            return time.perf_counter() - t0
 
-            def timed_p(k):
-                t0 = time.perf_counter()
-                out = None
-                for i in range(k):
-                    out = aug(jax.random.fold_in(rngk, i), clips_u8)
-                _ = float(jnp.sum(out.astype(jnp.float32)))
-                return time.perf_counter() - t0
+        _PARTIAL["preprocess_fps_on_device"] = round(
+            batch * 16 / two_point(timed_p, 2, 10), 1
+        )
 
-            tp1 = min(timed_p(2) for _ in range(reps))
-            tp2 = min(timed_p(10) for _ in range(reps))
-            preproc_fps = batch * 16 / ((tp2 - tp1) / 8)
-            _PARTIAL["preprocess_fps_on_device"] = round(preproc_fps, 1)
-        except Exception as e:
-            print(f"# preprocessing bench skipped: {e}", file=sys.stderr)
+    def sec_host_decode():
+        """SURVEY §7 hard-part 7 (host decode bandwidth), VERDICT r3 item 6:
+        the FULL ingest path — mp4 decode (cv2 VideoReader) + TSN sparse
+        sampling + H2D upload + on-device train augment — measured as
+        clips/sec. This is the host-side ceiling the 'no host round-trips'
+        pipeline claims sit on."""
+        import cv2
 
-    # secondary: long-context streaming (512-frame window, batch 2 — the
-    # bf16 512-cap cache at batch 8 exceeds HBM) — the decode is HBM-bound
-    # on the KV reads; the int8-KV variant halves that traffic (pos-major
-    # cache, fused dequant; rows padded to the 32-sublane int8 tile).
-    fps_512 = None
-    fps_512_int8kv = None
-    if on_tpu:
-        b512 = 2
-        frame512 = frame[:b512]
+        from streamformer_tpu.data.collate import make_train_augment
+        from streamformer_tpu.data.video_io import (VideoReader,
+                                                    sparse_sample_indices)
 
-        def measure_512(cfg512):
-            @partial(jax.jit, donate_argnums=(2,))
-            def step512(params, frame, c):
-                c = {**c, "len": jnp.full((), 511, jnp.int32)}
-                out, c = encoder.streaming_forward(params, frame, c, cfg512)
-                return out["pooler_output"], c
+        path = os.path.join("/tmp", "streamformer_bench_clip.mp4")
+        h, w, n_total = 256, 320, 120
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                             (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("cv2 VideoWriter(mp4v) unavailable")
+        rng = np.random.default_rng(5)
+        # textured frames (uniform noise compresses terribly; gradient +
+        # noise is a realistic decode load)
+        base = (np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+                * np.ones((h, 1, 3), np.float32))
+        for i in range(n_total):
+            f = base + rng.normal(0, 20, (h, w, 3)) + 60 * np.sin(i / 7.0)
+            vw.write(np.clip(f, 0, 255).astype(np.uint8))
+        vw.release()
 
-            c512 = encoder.init_cache(cfg512, batch=b512)
-            pooled, c512 = step512(params, frame512, c512)
-            _ = float(jnp.sum(pooled))
+        aug = make_train_augment(crop_size=cfg.image_size)
+        rngk = jax.random.PRNGKey(0)
+        srng = np.random.default_rng(6)
 
-            def timed512(k):
-                nonlocal c512
-                t0 = time.perf_counter()
-                pooled = None
-                for _ in range(k):
-                    pooled, c512 = step512(params, frame512, c512)
-                _ = float(jnp.sum(pooled))
-                return time.perf_counter() - t0
+        def one_clip(i):
+            vr = VideoReader(path)
+            idx = sparse_sample_indices(len(vr), 16, mode="train", rng=srng)
+            frames = vr.get_batch(idx)  # (16, H, W, 3) uint8
+            vr.close()
+            return aug(jax.random.fold_in(rngk, i), jnp.asarray(frames[None]))
 
-            t1 = min(timed512(3) for _ in range(reps))
-            t2 = min(timed512(23) for _ in range(reps))
-            return b512 / ((t2 - t1) / 20)
+        out = one_clip(0)  # warm: compile the (1, 16, H, W, 3) augment
+        _ = float(jnp.sum(out.astype(jnp.float32)))
 
-        if budget_left(1900):
-            fps_512 = measure_512(cfg.replace(cache_capacity=512))
-            _PARTIAL["fps_512f_context_batch2"] = round(fps_512, 2)
-        if budget_left(2000):
-            fps_512_int8kv = measure_512(
-                cfg.replace(cache_capacity=512, cache_dtype="int8")
-            )
-            _PARTIAL["fps_512_int8kv"] = round(fps_512_int8kv, 2)
+        def timed_d(k):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(k):
+                out = one_clip(i)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            return time.perf_counter() - t0
 
-    # continuous-batching LM decode (lm_serving): tokens/sec across 8
-    # ragged slots at steady state, capacity-512 cache — the VideoQA
-    # serving path's decode rate (a 0.5B-class tower config; the flagship
-    # encoder above is the headline, this is the serving-stack secondary)
-    lm_tok_s = None
-    if on_tpu and budget_left(2100):
+        n = 8
+        t = min(timed_d(n) for _ in range(2))
+        _PARTIAL["host_decode_clips_per_sec"] = round(n / t, 2)
         try:
-            from streamformer_tpu.models import language_model as LMM
-
-            lm_cfg = LMM.LMConfig(
-                vocab_size=32_000, hidden_size=1024,
-                num_hidden_layers=16, num_attention_heads=16,
-                num_key_value_heads=4, intermediate_size=2816,
-                max_position_embeddings=1024, dtype="bfloat16",
-            )
-            lm_params = LMM.init_params(jax.random.PRNGKey(7), lm_cfg)
-            S, CAPL = 8, 512
-            lm_cache = LMM.init_cache(lm_cfg, S, CAPL, per_stream_len=True)
-            lens0 = jnp.asarray(
-                np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32
-            )
-
-            @partial(jax.jit, donate_argnums=(2,))
-            def lm_step(p, toks, cache):
-                # pin mixed steady-state depths: every step attends a
-                # 64-448-deep window per slot (ragged), like live traffic
-                cache = {**cache, "len": lens0}
-                emb = LMM.embed_tokens(p, toks)[:, None]
-                out, cache = LMM.forward(p, emb, lm_cfg, cache=cache)
-                return (
-                    jnp.argmax(out["logits"][:, -1], -1).astype(jnp.int32),
-                    cache,
-                )
-
-            toks = jnp.zeros((S,), jnp.int32)
-            toks, lm_cache = lm_step(lm_params, toks, lm_cache)
-            _ = int(jnp.sum(toks))
-
-            def timed_lm(k):
-                nonlocal toks, lm_cache
-                t0 = time.perf_counter()
-                for _ in range(k):
-                    toks, lm_cache = lm_step(lm_params, toks, lm_cache)
-                _ = int(jnp.sum(toks))
-                return time.perf_counter() - t0
-
-            tl1 = min(timed_lm(k1) for _ in range(reps))
-            tl2 = min(timed_lm(k2) for _ in range(reps))
-            lm_tok_s = S / ((tl2 - tl1) / (k2 - k1))
-            _PARTIAL["lm_decode_tok_per_sec"] = round(lm_tok_s, 1)
-        except Exception as e:
-            print(f"# lm decode bench skipped: {e}", file=sys.stderr)
-
-    # the same decode served END-TO-END through the continuous-batching
-    # DecodeEngine (prefill buckets + ragged slots + host loop): the
-    # sync-free path keeps tokens device-resident between polls, so the
-    # engine number should sit near the bare-step number above rather
-    # than at the dispatch-latency floor (~1 ms/tick through the tunnel)
-    lm_engine_tok_s = None
-    if on_tpu and lm_tok_s and budget_left(2150):
-        try:
-            from streamformer_tpu.lm_serving import DecodeEngine
-
-            # ONE long-lived engine, as deployed: constructing an engine
-            # per run re-traces every jit closure (seconds of host Python)
-            # and times compilation, not serving
-            eng = DecodeEngine(
-                lm_params, lm_cfg, slots=8, capacity=512,
-                max_new_tokens=64, prefill_buckets=(64, 128, 256, 448),
-            )
-            rngp = np.random.default_rng(9)
-            prompts = [
-                np.asarray(
-                    LMM.embed_tokens(lm_params, jnp.asarray(
-                        rngp.integers(0, lm_cfg.vocab_size,
-                                      (int(rngp.integers(64, 448)),))
-                    )),
-                    np.float32,
-                )
-                for _ in range(16)  # 2 occupancy rounds over 8 slots
-            ]
-
-            def engine_run():
-                sids = [eng.open(p) for p in prompts]
-                t0 = time.perf_counter()
-                eng.run_until_idle()
-                total = sum(len(eng.poll(s)[0]) for s in sids)
-                return total / (time.perf_counter() - t0)
-
-            engine_run()  # warm: compile prefill buckets + decode
-            lm_engine_tok_s = max(engine_run() for _ in range(2))
-            _PARTIAL["lm_engine_tok_per_sec"] = round(lm_engine_tok_s, 1)
-        except Exception as e:
-            print(f"# lm engine bench skipped: {e}", file=sys.stderr)
-
-    torch_fps = TORCH_REFERENCE_FPS_LAST_MEASURED
-    torch_dt = None
-    if (
-        os.environ.get("STREAMFORMER_BENCH_SKIP_TORCH") != "1"
-        and os.path.isdir("/root/reference")
-    ):
-        try:
-            torch_fps, torch_dt = measure_torch_reference()
-        except Exception as e:  # keep the bench line emitting regardless
-            print(f"# torch reference measurement failed: {e}", file=sys.stderr)
-
-    result = {
-        "metric": "frames/sec/chip streaming encode (224^2, KV-cache)",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / H100_REFERENCE_FPS_EST, 3),
-        "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
-        "tflops": round(tflops, 2),
-        "torch_reference_fps_measured": (
-            round(torch_fps, 2) if torch_fps else None
-        ),
-        "torch_reference_host": "same-host CPU eager fp32 batch1" if torch_fps else None,
-        "h100_fps_estimate": H100_REFERENCE_FPS_EST,
-        "fps_512f_context_batch2": round(fps_512, 2) if fps_512 else None,
-        "fps_512_int8kv": round(fps_512_int8kv, 2) if fps_512_int8kv else None,
-        "fps_int8_serving": round(fps_int8, 2) if fps_int8 else None,
-        "fps_ring_unbounded": round(fps_ring, 2) if fps_ring else None,
-        "lm_decode_tok_per_sec": round(lm_tok_s, 1) if lm_tok_s else None,
-        "lm_engine_tok_per_sec": (
-            round(lm_engine_tok_s, 1) if lm_engine_tok_s else None
-        ),
-        "fps_ragged_serving": round(fps_ragged, 2) if fps_ragged else None,
-        "train_clips_per_sec": round(train_cps, 2) if train_cps else None,
-        "train_mfu": round(train_mfu, 4) if train_mfu else None,
-        "p50_latency_ms_per_frame": round(dt * 1e3, 2),
-        "preprocess_fps_on_device": (
-            round(preproc_fps, 1) if preproc_fps else None
-        ),
-    }
-    _emit(result)
-    if on_tpu:  # persist for the watchdog's stale-fallback line
-        try:
-            with open(_LAST_GOOD, "w") as f:
-                json.dump(result, f)
+            os.remove(path)
         except OSError:
             pass
-    print(
-        f"# per-step latency: {dt * 1e3:.2f} ms | batch={batch} | "
-        f"capacity={cfg.cache_capacity} | "
-        f"platform={'tpu' if on_tpu else 'cpu-smoke'} | "
-        f"analytic {tflops:.1f} TFLOP/s ({mfu * 100:.1f}% of v5e peak)"
-        + (
-            f" | torch-ref same-host: {torch_fps:.2f} fps "
-            f"({torch_dt * 1e3:.0f} ms/frame)"
-            if torch_fps and torch_dt
-            else ""
-        ),
-        file=sys.stderr,
-    )
+
+    lm_state = {}
+
+    def sec_lm_decode():
+        """Continuous-batching LM decode (lm_serving): tokens/sec across 8
+        ragged slots at steady state, capacity-512 cache — the VideoQA
+        serving path's decode rate (a 0.5B-class tower config; the flagship
+        encoder above is the headline, this is the serving-stack
+        secondary)."""
+        from streamformer_tpu.models import language_model as LMM
+
+        lm_cfg = LMM.LMConfig(
+            vocab_size=32_000, hidden_size=1024,
+            num_hidden_layers=16, num_attention_heads=16,
+            num_key_value_heads=4, intermediate_size=2816,
+            max_position_embeddings=1024, dtype="bfloat16",
+        )
+        lm_params = LMM.init_params(jax.random.PRNGKey(7), lm_cfg)
+        S, CAPL = 8, 512
+        lm_cache = LMM.init_cache(lm_cfg, S, CAPL, per_stream_len=True)
+        lens0 = jnp.asarray(
+            np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32
+        )
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def lm_step(p, toks, cache):
+            # pin mixed steady-state depths: every step attends a
+            # 64-448-deep window per slot (ragged), like live traffic
+            cache = {**cache, "len": lens0}
+            emb = LMM.embed_tokens(p, toks)[:, None]
+            out, cache = LMM.forward(p, emb, lm_cfg, cache=cache)
+            return (
+                jnp.argmax(out["logits"][:, -1], -1).astype(jnp.int32),
+                cache,
+            )
+
+        toks = jnp.zeros((S,), jnp.int32)
+        toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+        _ = int(jnp.sum(toks))
+
+        def timed_lm(k):
+            nonlocal toks, lm_cache
+            t0 = time.perf_counter()
+            for _ in range(k):
+                toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+            _ = int(jnp.sum(toks))
+            return time.perf_counter() - t0
+
+        _PARTIAL["lm_decode_tok_per_sec"] = round(S / two_point(timed_lm), 1)
+        lm_state["cfg"] = lm_cfg
+        lm_state["params"] = lm_params  # reused by sec_lm_engine
+
+    def sec_lm_engine():
+        """The same decode served END-TO-END through the continuous-batching
+        DecodeEngine (prefill buckets + ragged slots + host loop). Compare
+        against lm_decode_tok_per_sec; PERF.md carries the per-tick
+        budget."""
+        from streamformer_tpu.lm_serving import DecodeEngine
+        from streamformer_tpu.models import language_model as LMM
+
+        lm_cfg, lm_params = lm_state["cfg"], lm_state["params"]
+        # ONE long-lived engine, as deployed: constructing an engine per run
+        # re-traces every jit closure (seconds of host Python) and times
+        # compilation, not serving
+        eng = DecodeEngine(
+            lm_params, lm_cfg, slots=8, capacity=512,
+            max_new_tokens=64, prefill_buckets=(64, 128, 256, 448),
+        )
+        rngp = np.random.default_rng(9)
+        prompts = [
+            np.asarray(
+                LMM.embed_tokens(lm_params, jnp.asarray(
+                    rngp.integers(0, lm_cfg.vocab_size,
+                                  (int(rngp.integers(64, 448)),))
+                )),
+                np.float32,
+            )
+            for _ in range(16)  # 2 occupancy rounds over 8 slots
+        ]
+
+        def engine_run():
+            sids = [eng.open(p) for p in prompts]
+            t0 = time.perf_counter()
+            eng.run_until_idle()
+            total = sum(len(eng.poll(s)[0]) for s in sids)
+            return total / (time.perf_counter() - t0)
+
+        engine_run()  # warm: compile prefill buckets + decode
+        _PARTIAL["lm_engine_tok_per_sec"] = round(
+            max(engine_run() for _ in range(2)), 1
+        )
+
+    try:
+        if on_tpu:
+            if budget_left(1300):
+                _section("512-context", lambda: sec_512(
+                    cfg.replace(cache_capacity=512),
+                    "fps_512f_context_batch2"))
+            if budget_left(1400):
+                _section("512-int8kv", lambda: sec_512(
+                    cfg.replace(cache_capacity=512, cache_dtype="int8"),
+                    "fps_512_int8kv"))
+            if budget_left(1500):
+                _section("int8-serving", sec_int8)
+            if budget_left(1600):
+                _section("ring", sec_ring)
+            if budget_left(1650):
+                _section("ragged", sec_ragged)
+            if budget_left(1700):
+                _section("engine-encode", sec_engine_encode)
+            if budget_left(1800):
+                _section("train", sec_train)
+            if budget_left(1900):
+                _section("preproc", sec_preproc)
+            if budget_left(1950):
+                _section("host-decode", sec_host_decode)
+            if budget_left(2100):
+                _section("lm-decode", sec_lm_decode)
+            if lm_state and budget_left(2150):
+                _section("lm-engine", sec_lm_engine)
+
+        if (
+            os.environ.get("STREAMFORMER_BENCH_SKIP_TORCH") != "1"
+            and os.path.isdir("/root/reference")
+        ):
+            _section("torch-reference", lambda: _PARTIAL.update({
+                "torch_reference_fps_measured": round(
+                    measure_torch_reference()[0], 2),
+                "torch_reference_host": "same-host CPU eager fp32 batch1",
+            }))
+    finally:
+        # the headline was measured before this block — emit it NO MATTER
+        # WHAT happened above (VERDICT r3 item 1c)
+        result = {
+            "metric": _HEADLINE_METRIC,
+            "value": _PARTIAL.get("value"),
+            "unit": "frames/sec/chip",
+            "vs_baseline": _PARTIAL.get("vs_baseline"),
+            "mfu": _PARTIAL.get("mfu"),
+            "tflops": _PARTIAL.get("tflops"),
+            "torch_reference_fps_measured": _PARTIAL.get(
+                "torch_reference_fps_measured"),
+            "torch_reference_host": _PARTIAL.get("torch_reference_host"),
+            "h100_fps_estimate": H100_REFERENCE_FPS_EST,
+            "fps_512f_context_batch2": _PARTIAL.get(
+                "fps_512f_context_batch2"),
+            "fps_512_int8kv": _PARTIAL.get("fps_512_int8kv"),
+            "fps_int8_serving": _PARTIAL.get("fps_int8_serving"),
+            "fps_ring_unbounded": _PARTIAL.get("fps_ring_unbounded"),
+            "fps_ragged_serving": _PARTIAL.get("fps_ragged_serving"),
+            "fps_engine_streaming": _PARTIAL.get("fps_engine_streaming"),
+            "lm_decode_tok_per_sec": _PARTIAL.get("lm_decode_tok_per_sec"),
+            "lm_engine_tok_per_sec": _PARTIAL.get("lm_engine_tok_per_sec"),
+            "train_clips_per_sec": _PARTIAL.get("train_clips_per_sec"),
+            "train_mfu": _PARTIAL.get("train_mfu"),
+            "p50_latency_ms_per_frame": _PARTIAL.get(
+                "p50_latency_ms_per_frame"),
+            "preprocess_fps_on_device": _PARTIAL.get(
+                "preprocess_fps_on_device"),
+            "host_decode_clips_per_sec": _PARTIAL.get(
+                "host_decode_clips_per_sec"),
+        }
+        _emit(result)
+        if on_tpu and result["value"]:
+            # local artifact for the watchdog's stale_fallback (gitignored;
+            # stamped so a different host / old run never masquerades)
+            try:
+                result["_meta"] = {
+                    "host": platform.node(),
+                    "commit": _git_commit(),
+                    "timestamp": time.time(),
+                }
+                with open(_LAST_GOOD, "w") as f:
+                    json.dump(result, f)
+            except OSError:
+                pass
+        print(
+            f"# per-step latency: {dt * 1e3:.2f} ms | batch={batch} | "
+            f"capacity={cfg.cache_capacity} | "
+            f"platform={'tpu' if on_tpu else 'cpu-smoke'} | "
+            f"analytic {tflops:.1f} TFLOP/s ({mfu * 100:.1f}% of v5e peak)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

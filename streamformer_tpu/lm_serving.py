@@ -94,6 +94,19 @@ class DecodeEngine:
         self._cache = LM.init_cache(cfg, slots, capacity,
                                     per_stream_len=True,
                                     cache_dtype=cache_dtype)
+        # ONE persistent batch-1 prefill cache, recycled across requests:
+        # allocating it per prefill costs ~2 x num_layers zeros dispatches
+        # (~16 ms of tunnel latency each admit — measured dominant in the
+        # r3 prefill budget). write_slot hands it back with len zeroed;
+        # stale K/V rows need no clearing (masked by len everywhere).
+        # Headroom of one bucket past capacity: the LAST chunk's padded
+        # append may overhang (pos + lb > capacity), and a capacity-sized
+        # cache would let dynamic_update_slice CLAMP the start, silently
+        # relocating the chunk over valid rows. write_slot copies only the
+        # first `capacity` positions, so the overhang rows never escape.
+        self._prefill_cache = LM.init_cache(
+            cfg, 1, capacity + self.buckets[-1], cache_dtype=cache_dtype
+        )
         self._decode = self._make_decode()
         self._prefill = {}  # bucket length -> compiled chunk program
         self._write_slot = self._make_write_slot()
@@ -226,7 +239,7 @@ class DecodeEngine:
 
         cap = self.capacity
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(0, 1))
         def write_slot(small, big, slot, true_len):
             layers = []
             for i in range(n_layers):
@@ -241,7 +254,12 @@ class DecodeEngine:
                     for key in bg  # k/v (+ k_scale/v_scale when int8)
                 })
             ln = big["len"].at[slot].set(true_len)
-            return {"layers": layers, "len": ln}
+            # hand the (donated) prefill cache back with its frontier reset
+            # so the next admit reuses the buffers — layer planes alias
+            # through unchanged, so this costs nothing
+            small_reset = {"layers": small["layers"],
+                           "len": jnp.zeros_like(small["len"])}
+            return {"layers": layers, "len": ln}, small_reset
 
         return write_slot
 
@@ -276,16 +294,10 @@ class DecodeEngine:
         return sid
 
     def _run_prefill(self, sid: int, emb: np.ndarray):
-        """Chunked prefill on a fresh batch-1 cache; returns (first
-        generated token — a DEVICE scalar, unsynced — and the filled
-        small cache)."""
-        # headroom of one bucket past capacity: the LAST chunk's padded
-        # append may overhang (pos + lb > capacity), and a capacity-sized
-        # cache would let dynamic_update_slice CLAMP the start, silently
-        # relocating the chunk over valid rows. write_slot copies only the
-        # first `capacity` positions, so the overhang rows never escape.
-        small = LM.init_cache(self.cfg, 1, self.capacity + self.buckets[-1],
-                              cache_dtype=self.cache_dtype)
+        """Chunked prefill on the engine's recycled batch-1 cache; returns
+        (first generated token — a DEVICE scalar, unsynced — and the filled
+        small cache, which write_slot must hand back reset)."""
+        small = self._prefill_cache
         pos, tok = 0, None
         lmax = self.buckets[-1]
         while pos < len(emb):
@@ -316,7 +328,7 @@ class DecodeEngine:
             sid, emb = self._pending.popleft()
             true_len = len(emb)
             tok, small = self._run_prefill(sid, emb)
-            self._cache = self._write_slot(
+            self._cache, self._prefill_cache = self._write_slot(
                 small, self._cache,
                 jnp.asarray(s, jnp.int32), jnp.asarray(true_len, jnp.int32),
             )
@@ -357,10 +369,21 @@ class DecodeEngine:
             return
         self._ticks_since_drain = 0
         entries, self._stash = self._stash, []
-        vals = jax.device_get([e[0] for e in entries])  # one bulk fetch
-        for (_, m), v in zip(entries, vals):
+        # ONE device concat + ONE transfer: a device_get over the raw list
+        # pays the tunnel roundtrip PER ARRAY (~10 ms each — measured as the
+        # dominant engine cost in r3: 1.4 s of a 1.8 s run for 126 stashed
+        # ticks); flattening on device first makes the drain one roundtrip.
+        flat = jax.device_get(
+            jnp.concatenate([e[0].reshape(-1) for e in entries])
+            if len(entries) > 1 else entries[0][0].reshape(-1)
+        )
+        off = 0
+        for (arr, m) in entries:
+            n = int(np.prod(arr.shape)) if arr.ndim else 1
+            v = flat[off:off + n]
+            off += n
             if isinstance(m, int):  # prefill scalar: m is the sid
-                self._deliver(m, int(v))
+                self._deliver(m, int(v[0]))
             else:  # tick row: m maps slot -> sid (None = idle)
                 for s, sid in enumerate(m):
                     if sid is not None:
