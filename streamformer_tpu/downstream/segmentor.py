@@ -618,12 +618,15 @@ class HungarianTracker:
         frame_id = self._frame if frame_id is None else int(frame_id)
         self._frame = frame_id + 1
 
-        # retire dead tracklets BEFORE matching (reference cleans after, but
-        # pre-cleaning means a detection can never match a track that was
-        # already dead at this frame; same steady-state behavior)
+        # retire dead tracklets BEFORE matching. The reference cleans AFTER
+        # updating frame f (clean_dead_tracklets(f), hungarian_tracker.py:336)
+        # so its frame-(f+1) match sees exactly the tracks with
+        # f - last_frame <= num_dead_frames; cleaning here with cur = the
+        # PREVIOUS frame reproduces that bank identically (a plain
+        # frame_id - last > ndf pre-clean would retire one frame early)
         for tid in [
             t for t, tr in self.tracklets.items()
-            if frame_id - tr.last_frame > self.num_dead_frames
+            if (frame_id - 1) - tr.last_frame > self.num_dead_frames
         ]:
             del self.tracklets[tid]
 
@@ -631,29 +634,43 @@ class HungarianTracker:
         if self.tracklets and n:
             ids, bank, exist = self._bank()
             ms = self._match_scores(embeddings, bank)
-            if self.frame_weight:
-                # prefer long-lived tracklets among above-threshold
-                # candidates (reference hungarian_tracker.py:290-299, +1.6 AP)
-                w = np.where(
-                    ms > self.match_score_thr, exist[None, :], exist.mean()
-                )
-                weighted = ms * w
-            else:
-                weighted = ms
             if self.match_type == "hungarian":
+                if self.frame_weight:
+                    # prefer long-lived tracklets among above-threshold
+                    # candidates (reference hungarian_tracker.py:290-299,
+                    # +1.6 AP)
+                    w = np.where(
+                        ms > self.match_score_thr, exist[None, :],
+                        exist.mean(),
+                    )
+                    weighted = ms * w
+                else:
+                    weighted = ms
                 from scipy.optimize import linear_sum_assignment
 
                 ni, ki = linear_sum_assignment(-weighted)
                 for i, k in zip(ni, ki):
                     if ms[i, k] > self.match_score_thr:
                         out[i] = ids[k]
-            else:  # greedy in detection order, matched columns zeroed
-                avail = weighted.copy()
+            else:
+                # greedy in detection order — the reference's exact
+                # resolution (hungarian_tracker.py:289-311): per row, the
+                # exist-frames weighting applies only when >1 candidates
+                # clear the threshold, the threshold then compares against
+                # the WEIGHTED max, and a match zeroes its tracklet's
+                # column of the raw scores for every later row
+                ms_work = ms.copy()
                 for i in range(n):
-                    k = int(np.argmax(avail[i]))
-                    if ms[i, k] > self.match_score_thr and avail[i, k] > 0:
+                    row = ms_work[i]
+                    valid = row > self.match_score_thr
+                    if self.frame_weight and valid.sum() > 1:
+                        row = np.where(
+                            valid, row * exist, row * exist.mean()
+                        )
+                    k = int(np.argmax(row))
+                    if row[k] > self.match_score_thr:
                         out[i] = ids[k]
-                        avail[:, k] = 0.0
+                        ms_work[:, k] = 0.0
         for i in range(n):
             if out[i] == -1 and scores[i] > self.init_score_thr:
                 out[i] = self._next
