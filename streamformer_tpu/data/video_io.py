@@ -33,6 +33,10 @@ class VideoReader:
             raise IOError(f"cannot open video {path}")
         self._len = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        # actual frame shape, so the salvage fallback in get_batch stacks
+        # cleanly with real frames of any resolution
+        self._h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 224
+        self._w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 224
         self._pos = 0
 
     def __len__(self):
@@ -54,8 +58,11 @@ class VideoReader:
             ok, frame = self._cap.read()
             if not ok:
                 # salvage: reuse the last decoded frame if any, else zeros
+                # sized to the video's real resolution (a hardcoded shape
+                # would crash np.stack on non-224 videos whose first sorted
+                # frame fails)
                 out[k] = last if last is not None else np.zeros(
-                    (224, 224, 3), np.uint8
+                    (self._h, self._w, 3), np.uint8
                 )
                 continue
             self._pos = idx + 1

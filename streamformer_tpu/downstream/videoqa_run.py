@@ -1,5 +1,6 @@
-"""VideoQA stage-wise training CLI (reference downstream/VideoQA
-llava/train/train.py + scripts/train/stage{1,2,3}*.sh).
+"""VideoQA stage-wise training + batch generation-eval CLI (reference
+downstream/VideoQA llava/train/train.py + scripts/train/stage{1,2,3}*.sh;
+eval mode mirrors llava/eval/model_vqa.py I/O).
 
 Data: LLaVA-format JSON — [{"video": path, "conversations":
 [{"from": "human", "value": "<image>\\nQ..."}, {"from": "gpt", "value":
@@ -11,6 +12,13 @@ Usage:
     python -m streamformer_tpu.downstream.videoqa_run \
         --data llava_video.json --video_root videos/ --stage 1 \
         --model_path /ckpt/streamformer --lm_path /ckpt/qwen2
+
+Batch generation-eval (reference llava/eval/model_vqa.py: question file ->
+answers JSONL consumable by the official scorers; generation runs through
+the continuous-batching DecodeEngine rather than lockstep generate):
+    python -m streamformer_tpu.downstream.videoqa_run \
+        --eval --data questions.json --answers_file answers.jsonl \
+        --ckpt output/videoqa --num_chunks 8 --chunk_idx 0
 """
 
 from __future__ import annotations
@@ -18,8 +26,10 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import math
 import os
 import time
+import uuid
 
 IMAGE_PLACEHOLDER = "<image>"
 
@@ -38,6 +48,24 @@ def get_args():
     p.add_argument("--dpo_alpha", type=float, default=1.0)
     p.add_argument("--dpo_gamma", type=float, default=1.0,
                    help="weight of the auxiliary SFT-CE term on chosen")
+    p.add_argument("--eval", action="store_true",
+                   help="batch generation-eval: --data is a question "
+                   "JSON/JSONL, answers written as JSONL "
+                   "(reference llava/eval/model_vqa.py I/O)")
+    p.add_argument("--answers_file", default=None,
+                   help="eval output JSONL (default output_dir/answers.jsonl)")
+    p.add_argument("--ckpt", default=None,
+                   help="restore {tower, projector, lm} from a training "
+                   "checkpoint dir before eval")
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--extra_prompt", default="")
+    p.add_argument("--num_chunks", type=int, default=1,
+                   help="shard the question list across jobs "
+                   "(reference get_chunk)")
+    p.add_argument("--chunk_idx", type=int, default=0)
+    p.add_argument("--engine_slots", type=int, default=8)
     p.add_argument("--model_path", default=None, help="HF backbone dir")
     p.add_argument("--lm_path", default=None,
                    help="HF Qwen2/Llama dir (safetensors) for the LM")
@@ -78,6 +106,115 @@ class _HashTok:
             3 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (self.vocab - 3)
             for w in text.split()
         ]
+
+
+def split_chunks(lst, n, k):
+    """Ceil-sized chunk k of n (reference llava/eval/model_vqa.py:23-31
+    split_list/get_chunk) — shards the question list across jobs."""
+    size = math.ceil(len(lst) / n) if lst else 1
+    return lst[k * size:(k + 1) * size]
+
+
+def run_eval(args, cfg, lm_cfg, params, tok, rows, load_video):
+    """Batch generation-eval (reference llava/eval/model_vqa.py
+    eval_model, :86-221): question rows -> answers JSONL in the reference
+    schema (dataset/sample_id/prompt/pred_response/gt_response/shortuuid/
+    model_id/question_type) so official scorers consume the output
+    unchanged. The reference decodes one question at a time with lockstep
+    model.generate; here up to --engine_slots questions share each decode
+    step through the continuous-batching DecodeEngine."""
+    import numpy as np
+    from streamformer_tpu import lm_serving
+    from streamformer_tpu.downstream import videoqa as VQ
+    from streamformer_tpu.downstream.vision_tower import TimesformerVisionTower
+
+    rows = split_chunks(rows, args.num_chunks, args.chunk_idx)
+    answers_file = args.answers_file or os.path.join(
+        args.output_dir, "answers.jsonl"
+    )
+    os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
+
+    tower = TimesformerVisionTower(cfg, params["tower"])
+    model = VQ.LlavaQwenModel(
+        tower=tower, lm_cfg=lm_cfg,
+        params={"projector": params["projector"], "lm": params["lm"]},
+    )
+
+    def question_of(row, idx):
+        qs = row["conversations"][0]["value"]
+        if args.extra_prompt:
+            qs = args.extra_prompt + qs
+        if IMAGE_PLACEHOLDER not in qs:  # reference DEFAULT_IMAGE_TOKEN+\n
+            qs = IMAGE_PLACEHOLDER + "\n" + qs
+        ids, _ = build_sample(
+            {"conversations": [{"from": "human", "value": qs}]},
+            tok, VQ.IMAGE_TOKEN_INDEX,
+        )
+        return qs, ids
+
+    staged = []
+    max_prompt = 1
+    for i, row in enumerate(rows):
+        qs, ids = question_of(row, i)
+        n_ph = int((ids == VQ.IMAGE_TOKEN_INDEX).sum())
+        # spliced prompt length: each placeholder expands to T frame tokens
+        max_prompt = max(max_prompt, len(ids) - n_ph + n_ph * args.num_frames)
+        staged.append((i, row, qs, ids))
+
+    cap = max(64, -(-(max_prompt + args.max_new_tokens) // 64) * 64)
+    eng = lm_serving.DecodeEngine(
+        params["lm"], lm_cfg, slots=args.engine_slots, capacity=cap,
+        max_new_tokens=args.max_new_tokens,
+        eos_token_id=getattr(tok, "eos_token_id", None),
+        temperature=args.temperature, top_p=args.top_p, seed=args.seed,
+    )
+    model_id = os.path.basename(
+        (args.ckpt or args.model_path or "streamformer-tpu").rstrip("/")
+    )
+
+    written = 0
+    qpos = 0
+    live = {}  # sid -> (row, prompt, accumulated token ids)
+    with open(answers_file, "w") as out_f:
+        while qpos < len(staged) or live:
+            while qpos < len(staged) and len(live) < args.engine_slots:
+                i, row, qs, ids = staged[qpos]
+                qpos += 1
+                tower.clear_cache()  # fresh stream per question
+                emb = model.prompt_embeds(ids, load_video(row["video"],
+                                                          mode="val"))
+                live[eng.open(emb)] = (i, row, qs, [])
+            eng.tick()
+            for sid in list(live):
+                toks, done = eng.poll(sid)
+                i, row, qs, acc = live[sid]
+                acc.extend(int(t) for t in toks)
+                if not done:
+                    continue
+                del live[sid]
+                text = (
+                    tok.decode(acc, skip_special_tokens=True).strip()
+                    if hasattr(tok, "decode") else ""
+                )
+                meta = row.get("metadata") or {}
+                conv = row.get("conversations", [])
+                out_f.write(json.dumps({
+                    "dataset": meta.get("dataset"),
+                    "sample_id": row.get("sample_id", i),
+                    "prompt": qs,
+                    "pred_response": text,
+                    "pred_token_ids": acc,  # smoke tokenizer has no decode
+                    "gt_response": (conv[1]["value"]
+                                    if len(conv) > 1 else None),
+                    "shortuuid": uuid.uuid4().hex[:22],
+                    "model_id": model_id,
+                    "question_type": meta.get("question_type"),
+                }) + "\n")
+                out_f.flush()
+                written += 1
+    print(json.dumps({"eval": True, "answers_file": answers_file,
+                      "num_questions": len(staged),
+                      "num_answers": written}))
 
 
 def build_sample(row, tok, image_token_index):
@@ -182,16 +319,34 @@ def main():
     opt_state = tx.init(params)
 
     with open(args.data) as f:
-        rows = json.load(f)
+        first = f.read(1)
+        f.seek(0)
+        if first == "[":
+            rows = json.load(f)
+        else:  # JSONL question files (reference eval inputs ship both)
+            rows = [json.loads(ln) for ln in f if ln.strip()]
 
-    def load_video(path):
+    def load_video(path, mode="train"):
         vr = video_io.VideoReader(os.path.join(args.video_root, path))
-        idx = video_io.sparse_sample_indices(len(vr), args.num_frames, "train")
+        idx = video_io.sparse_sample_indices(len(vr), args.num_frames, mode)
         frames = vr.get_batch(idx)
         vr.close()
         x = resize(jnp.asarray(frames), (args.input_size, args.input_size))
         x = (x / 255.0 - 0.5) / 0.5
         return to_model_input(x)[None]  # (1, T, C, H, W)
+
+    if args.eval:
+        if args.ckpt:
+            state = ckpt_lib.auto_resume(args.ckpt, {
+                "params": params, "opt_state": opt_state,
+                "meta": {"epoch": np.asarray(0, np.int64),
+                         "step": np.asarray(0, np.int64)},
+            })
+            if state is None:
+                raise SystemExit(f"no checkpoint-* under {args.ckpt}")
+            params = state["params"]
+        run_eval(args, cfg, lm_cfg, params, tok, rows, load_video)
+        return
 
     for epoch in range(args.epochs):
         t0 = time.time()

@@ -218,3 +218,51 @@ def test_videoqa_dpo_cli(videos, tmp_path, monkeypatch):
         line = json.loads(f.readline())
     assert np.isfinite(line["loss"]) and line["dpo"] is True
     assert 0.0 <= line["reward_accuracy"] <= 1.0
+
+
+def test_videoqa_eval_cli(videos, tmp_path, monkeypatch):
+    """Batch generation-eval (reference llava/eval/model_vqa.py I/O):
+    question JSONL -> answers JSONL in the reference schema, decoded
+    through the continuous-batching DecodeEngine; --num_chunks shards
+    the question list like the reference get_chunk."""
+    questions = [
+        {
+            "sample_id": f"q{i}",
+            "video": videos[i % len(videos)],
+            "metadata": {"dataset": "toy", "question_type": "open"},
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat happens"},
+                {"from": "gpt", "value": "something moves"},
+            ],
+        }
+        for i in range(3)
+    ]
+    data_path = str(tmp_path / "questions.jsonl")
+    with open(data_path, "w") as f:
+        for q in questions:
+            f.write(json.dumps(q) + "\n")
+    out = str(tmp_path / "out")
+    ans = str(tmp_path / "answers.jsonl")
+    argv = [
+        "videoqa_run", "--eval", "--data", data_path,
+        "--answers_file", ans, "--output_dir", out,
+        "--max_new_tokens", "4", "--engine_slots", "2",
+        "--num_chunks", "2", "--chunk_idx", "0",  # ceil(3/2)=2 questions
+        "--lm_hidden", "32", "--lm_layers", "1", "--lm_heads", "4",
+        "--lm_kv_heads", "2", "--lm_intermediate", "64",
+        "--lm_vocab", "64",
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import videoqa_run
+
+    videoqa_run.main()
+    with open(ans) as f:
+        recs = [json.loads(ln) for ln in f]
+    assert len(recs) == 2  # chunk 0 of 2 over 3 questions
+    assert {r["sample_id"] for r in recs} == {"q0", "q1"}
+    for r in recs:
+        assert r["dataset"] == "toy" and r["question_type"] == "open"
+        assert r["gt_response"] == "something moves"
+        assert r["prompt"].startswith("<image>")
+        assert 1 <= len(r["pred_token_ids"]) <= 4
+        assert "shortuuid" in r and "model_id" in r
