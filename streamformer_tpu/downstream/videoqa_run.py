@@ -140,25 +140,38 @@ def run_eval(args, cfg, lm_cfg, params, tok, rows, load_video):
         params={"projector": params["projector"], "lm": params["lm"]},
     )
 
-    def question_of(row, idx):
-        qs = row["conversations"][0]["value"]
+    def question_of(row, turn):
+        """Prompt text + token ids for the human turn at conversation
+        index 2*turn. Only the first turn carries the <image> placeholder
+        (reference rows put the image in turn 0; later turns ride the
+        accumulated context)."""
+        qs = row["conversations"][2 * turn]["value"]
         if args.extra_prompt:
             qs = args.extra_prompt + qs
-        if IMAGE_PLACEHOLDER not in qs:  # reference DEFAULT_IMAGE_TOKEN+\n
-            qs = IMAGE_PLACEHOLDER + "\n" + qs
+        if turn == 0 and IMAGE_PLACEHOLDER not in qs:
+            qs = IMAGE_PLACEHOLDER + "\n" + qs  # reference DEFAULT_IMAGE_TOKEN
+        if turn > 0:
+            qs = qs.replace(IMAGE_PLACEHOLDER, "").strip()
         ids, _ = build_sample(
             {"conversations": [{"from": "human", "value": qs}]},
             tok, VQ.IMAGE_TOKEN_INDEX,
         )
         return qs, ids
 
+    def n_turns(row):
+        return max(1, (len(row.get("conversations", [])) + 1) // 2)
+
     staged = []
     max_prompt = 1
     for i, row in enumerate(rows):
-        qs, ids = question_of(row, i)
+        qs, ids = question_of(row, 0)
         n_ph = int((ids == VQ.IMAGE_TOKEN_INDEX).sum())
-        # spliced prompt length: each placeholder expands to T frame tokens
-        max_prompt = max(max_prompt, len(ids) - n_ph + n_ph * args.num_frames)
+        # spliced prompt length: each placeholder expands to T frame tokens;
+        # multi-turn rows accumulate every turn's prompt + generated answer
+        total = len(ids) - n_ph + n_ph * args.num_frames
+        for t in range(1, n_turns(row)):
+            total += args.max_new_tokens + len(question_of(row, t)[1])
+        max_prompt = max(max_prompt, total)
         staged.append((i, row, qs, ids))
 
     cap = max(64, -(-(max_prompt + args.max_new_tokens) // 64) * 64)
@@ -172,46 +185,73 @@ def run_eval(args, cfg, lm_cfg, params, tok, rows, load_video):
         (args.ckpt or args.model_path or "streamformer-tpu").rstrip("/")
     )
 
+    from streamformer_tpu.models import language_model as LM
+
+    def text_embeds(ids):
+        import jax.numpy as jnp
+
+        safe = np.where(np.asarray(ids) == VQ.IMAGE_TOKEN_INDEX, 0,
+                        np.asarray(ids))
+        return np.asarray(
+            LM.embed_tokens(params["lm"], jnp.asarray(safe)), np.float32
+        )
+
     written = 0
     qpos = 0
-    live = {}  # sid -> (row, prompt, accumulated token ids)
+    live = {}  # sid -> [row_idx, row, turn, prompt_text, tokens, prompt_emb]
     with open(answers_file, "w") as out_f:
         while qpos < len(staged) or live:
             while qpos < len(staged) and len(live) < args.engine_slots:
                 i, row, qs, ids = staged[qpos]
                 qpos += 1
                 tower.clear_cache()  # fresh stream per question
-                emb = model.prompt_embeds(ids, load_video(row["video"],
-                                                          mode="val"))
-                live[eng.open(emb)] = (i, row, qs, [])
+                emb = np.asarray(
+                    model.prompt_embeds(ids, load_video(row["video"],
+                                                        mode="val")),
+                    np.float32,
+                )
+                live[eng.open(emb)] = [i, row, 0, qs, [], emb]
             eng.tick()
             for sid in list(live):
                 toks, done = eng.poll(sid)
-                i, row, qs, acc = live[sid]
-                acc.extend(int(t) for t in toks)
+                st = live[sid]
+                st[4].extend(int(t) for t in toks)
                 if not done:
                     continue
                 del live[sid]
+                i, row, turn, qs, acc, emb = st
                 text = (
                     tok.decode(acc, skip_special_tokens=True).strip()
                     if hasattr(tok, "decode") else ""
                 )
                 meta = row.get("metadata") or {}
                 conv = row.get("conversations", [])
+                gt_idx = 2 * turn + 1
                 out_f.write(json.dumps({
                     "dataset": meta.get("dataset"),
                     "sample_id": row.get("sample_id", i),
                     "prompt": qs,
                     "pred_response": text,
                     "pred_token_ids": acc,  # smoke tokenizer has no decode
-                    "gt_response": (conv[1]["value"]
-                                    if len(conv) > 1 else None),
+                    "gt_response": (conv[gt_idx]["value"]
+                                    if len(conv) > gt_idx else None),
                     "shortuuid": uuid.uuid4().hex[:22],
                     "model_id": model_id,
                     "question_type": meta.get("question_type"),
                 }) + "\n")
                 out_f.flush()
                 written += 1
+                # multi-turn (reference model_vqa.py:165-218): each later
+                # human turn re-generates on [prior prompt + generated
+                # answer + new turn]; the video is encoded once (its
+                # features live in the turn-0 prompt embeddings)
+                if turn + 1 < n_turns(row):
+                    nqs, nids = question_of(row, turn + 1)
+                    new_emb = np.concatenate(
+                        [emb, text_embeds(acc), text_embeds(nids)], axis=0
+                    )
+                    live[eng.open(new_emb)] = [i, row, turn + 1, nqs, [],
+                                               new_emb]
     print(json.dumps({"eval": True, "answers_file": answers_file,
                       "num_questions": len(staged),
                       "num_answers": written}))

@@ -266,3 +266,66 @@ def test_videoqa_eval_cli(videos, tmp_path, monkeypatch):
         assert r["prompt"].startswith("<image>")
         assert 1 <= len(r["pred_token_ids"]) <= 4
         assert "shortuuid" in r and "model_id" in r
+
+
+def test_videoqa_eval_cli_multi_turn(videos, tmp_path, monkeypatch):
+    """Multi-turn rows (reference llava/eval/model_vqa.py:165-218): one
+    answer record per human turn; turn k>0 re-generates on the
+    accumulated context (turn-0 prompt embeddings + generated answer +
+    new question), the video is encoded once."""
+    questions = [
+        {
+            "sample_id": "m0",
+            "video": videos[0],
+            "metadata": {"dataset": "toy", "question_type": "open"},
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat happens"},
+                {"from": "gpt", "value": "something moves"},
+                {"from": "human", "value": "and after that"},
+                {"from": "gpt", "value": "it stops"},
+            ],
+        },
+        {
+            "sample_id": "s0",
+            "video": videos[-1],
+            "metadata": {"dataset": "toy", "question_type": "open"},
+            "conversations": [
+                {"from": "human", "value": "<image>\nsingle turn"},
+                {"from": "gpt", "value": "one answer"},
+            ],
+        },
+    ]
+    data_path = str(tmp_path / "questions.jsonl")
+    with open(data_path, "w") as f:
+        for q in questions:
+            f.write(json.dumps(q) + "\n")
+    out = str(tmp_path / "out")
+    ans = str(tmp_path / "answers.jsonl")
+    argv = [
+        "videoqa_run", "--eval", "--data", data_path,
+        "--answers_file", ans, "--output_dir", out,
+        "--max_new_tokens", "4", "--engine_slots", "2",
+        "--lm_hidden", "32", "--lm_layers", "1", "--lm_heads", "4",
+        "--lm_kv_heads", "2", "--lm_intermediate", "64",
+        "--lm_vocab", "64",
+    ] + TINY
+    monkeypatch.setattr(sys, "argv", argv)
+    from streamformer_tpu.downstream import videoqa_run
+
+    videoqa_run.main()
+    with open(ans) as f:
+        recs = [json.loads(ln) for ln in f]
+    by_id = {}
+    for r in recs:
+        by_id.setdefault(r["sample_id"], []).append(r)
+    assert len(by_id["m0"]) == 2 and len(by_id["s0"]) == 1
+    gts = {r["gt_response"] for r in by_id["m0"]}
+    assert gts == {"something moves", "it stops"}
+    for r in by_id["m0"]:
+        # later turns never re-insert the image placeholder
+        if r["gt_response"] == "it stops":
+            assert "<image>" not in r["prompt"]
+            assert r["prompt"] == "and after that"
+        else:
+            assert r["prompt"].startswith("<image>")
+        assert 1 <= len(r["pred_token_ids"]) <= 4
