@@ -241,13 +241,17 @@ class StreamingServer(_HTTPServerBase):
         engine's admission rules so the actor never spins on no-op ticks
         (e.g. a stream opened but not yet fed)."""
         e = self._engine
-        if any(sid is not None and e._queues.get(sid)
-               for sid in e._slot_sid):
+        if any(
+            sid is not None
+            and (e._wr[s] > e._rd[s] or e._queues.get(sid))
+            for s, sid in enumerate(e._slot_sid)
+        ):
             return True
         slot_free = any(
             sid is None or sid not in e._queues
-            or (sid in e._closed and not e._queues[sid])
-            for sid in e._slot_sid
+            or (sid in e._closed and not e._queues[sid]
+                and e._wr[s] == e._rd[s])
+            for s, sid in enumerate(e._slot_sid)
         )
         if not slot_free:
             return False

@@ -31,6 +31,15 @@ The scheduling/host loop is deliberately synchronous-dispatch only — all
 device work stays on the caller's thread (two threads jit-dispatching
 deadlocks the axon tunnel), and nothing here reads device outputs until
 ``poll``/``tick`` returns them, so dispatch pipelines ahead of the chip.
+
+Zero-upload ticks (the DecodeEngine pattern applied to frames): ``feed``
+bulk-uploads frames ONCE into a per-slot device staging ring; the compiled
+tick gathers each slot's next frame from the ring at its device-resident
+read pointer and advances the pointer in-program. A steady-state tick
+uploads nothing — host→device traffic happens at ingest (feed) time, in
+clip-sized transfers, where it belongs in a pipelined server. Without
+staging every tick paid a blocking (slots,1,C,H,W) upload on the dispatch
+thread (~2.4 MB ≈ 24–110 ms through the axon tunnel vs a ~4 ms step).
 """
 
 from __future__ import annotations
@@ -63,6 +72,7 @@ class StreamingEngine:
         capacity: Optional[int] = None,
         mode: str = "auto",
         collect: Optional[str] = "pooled",
+        stage_depth: Optional[int] = None,
     ):
         capacity = capacity or cfg.cache_capacity
         if mode == "auto":
@@ -81,6 +91,20 @@ class StreamingEngine:
         self._cache = encoder.init_cache(
             self.cfg, batch=slots, capacity=capacity, per_stream_len=True
         )
+        # per-slot device staging ring: feed() writes clips here in bulk
+        # (one upload per feed), the tick gathers frame = stage[s, rd % Q]
+        # on device. Q >= capacity so a linear-mode stream always fits;
+        # ring-mode streams that outrun Q overflow to the host queue and
+        # re-stage as the ring drains.
+        self._stage_depth = int(stage_depth or capacity)
+        c, hw = 3, self.cfg.image_size
+        self._stage = jnp.zeros(
+            (slots, self._stage_depth, c, hw, hw), self._dt
+        )
+        self._rd_dev = jnp.zeros((slots,), jnp.int32)  # in-program read ptrs
+        self._wr = [0] * slots  # absolute frames staged, host-side
+        self._rd = [0] * slots  # absolute frames consumed (host mirror)
+        self._write = self._make_stage_write()
         self._step = self._make_step()
         self._slot_sid: List[Optional[int]] = [None] * slots
         self._queues: Dict[int, deque] = {}
@@ -107,21 +131,74 @@ class StreamingEngine:
     # -- one compiled tick ------------------------------------------------
     def _make_step(self):
         cfg = self.cfg
+        slots, depth = self.slots, self._stage_depth
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def step(params, frame, cache, admit, active):
+        # donate cache + read ptrs (both replaced every tick); NEVER donate
+        # admit/active — they are cached device operands reused across
+        # ticks (donating them works on CPU, which ignores donation, but
+        # deletes the buffer on TPU and poisons the next tick)
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def step(params, stage, rd, cache, admit, active):
+            # admitted slots restart their staging read pointer (the host
+            # re-stages the new stream from ring position 0)
+            rd = jnp.where(admit, 0, rd)
+            frame = stage[jnp.arange(slots), rd % depth][:, None]
             cache = encoder.reset_streams(cache, admit)
             out, cache = encoder.streaming_forward(params, frame, cache,
                                                    cfg=cfg)
             # roll held slots back: their dummy append stays masked (len
             # unchanged => consumers never see position len) and the next
-            # real frame overwrites the same slot
+            # real frame overwrites the same slot. A held slot's gathered
+            # frame is stale ring content — discarded the same way the old
+            # zeros dummy was.
             cache = {**cache,
                      "len": jnp.where(active, cache["len"],
                                       cache["len"] - 1)}
-            return out["pooler_output"], cache
+            rd = jnp.where(active, rd + 1, rd)
+            return out["pooler_output"], cache, rd
 
         return step
+
+    def _make_stage_write(self):
+        depth = self._stage_depth
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def write(stage, clip, slot, start, valid):
+            # masked modular scatter: clip rows land at ring positions
+            # (start + i) % depth; clip is padded to a pow-2 length so
+            # recompiles are bounded by log2(depth) shapes. Padding rows
+            # (valid=False) are routed out of bounds and dropped — mapping
+            # them in-bounds would alias real rows when depth is not a
+            # power of two (duplicate-index scatter picks an unspecified
+            # winner, so a padding row could clobber a real frame).
+            idx = (start + jnp.arange(clip.shape[0])) % depth
+            idx = jnp.where(valid, idx, depth)
+            return stage.at[slot, idx].set(clip, mode="drop")
+
+        return write
+
+    def _stage_frames(self, s: int, q: deque) -> int:
+        """Bulk-upload as many of ``q``'s frames as fit in slot ``s``'s
+        staging ring; returns the number staged (popped from ``q``)."""
+        free = self._stage_depth - (self._wr[s] - self._rd[s])
+        n = min(len(q), free)
+        if n <= 0:
+            return 0
+        chunk = np.stack([q.popleft() for _ in range(n)])
+        tpad = 1 << (n - 1).bit_length()  # next pow2 >= n
+        if tpad > n:
+            chunk = np.concatenate(
+                [chunk, np.zeros((tpad - n,) + chunk.shape[1:], chunk.dtype)]
+            )
+        valid = np.arange(tpad) < n
+        self._stage = self._write(
+            self._stage, jnp.asarray(chunk),
+            jnp.asarray(s, jnp.int32),
+            jnp.asarray(self._wr[s] % self._stage_depth, jnp.int32),
+            jnp.asarray(valid),
+        )
+        self._wr[s] += n
+        return n
 
     # -- public API --------------------------------------------------------
     def open(self) -> int:
@@ -155,6 +232,10 @@ class StreamingEngine:
         self._fed[sid] += len(frames)
         for f in frames:
             self._queues[sid].append(f)
+        # live-fed slotted streams stage at ingest time (one bulk upload
+        # per feed call) so the tick itself uploads nothing
+        if sid in self._slot_sid:
+            self._stage_frames(self._slot_sid.index(sid), self._queues[sid])
 
     def close(self, sid: int) -> None:
         """End-of-stream: remaining queued frames still get served."""
@@ -176,7 +257,8 @@ class StreamingEngine:
             sid = self._slot_sid[s]
             if sid is not None and (
                 sid not in self._queues  # reclaimed by poll()
-                or (sid in self._closed and not self._queues[sid])
+                or (sid in self._closed and not self._queues[sid]
+                    and self._wr[s] == self._rd[s])
             ):
                 self._slot_sid[s] = None
             while self._slot_sid[s] is None and self._pending:
@@ -189,18 +271,24 @@ class StreamingEngine:
                 if self._queues[head]:
                     self._slot_sid[s] = self._pending.popleft()
                     admit[s] = True
+                    # restart the slot's staging ring for the new stream
+                    # (the compiled step resets its read pointer on admit)
+                    self._wr[s] = self._rd[s] = 0
+                    self._stage_frames(s, self._queues[head])
                 break
 
-        c, hh, ww = 3, self.cfg.image_size, self.cfg.image_size
-        frame = np.zeros((self.slots, 1, c, hh, ww), self._dt)
         active = np.zeros(self.slots, bool)
         fed_sids: List[Optional[int]] = [None] * self.slots
         for s in range(self.slots):
             sid = self._slot_sid[s]
             if sid is None:
                 continue
-            if self._queues[sid]:
-                frame[s, 0] = self._queues[sid].popleft()
+            if self._queues[sid] and self._wr[s] - self._rd[s] < \
+                    self._stage_depth:
+                # overflow drain: host-queued frames re-stage as the ring
+                # frees (ring-mode streams fed faster than consumption)
+                self._stage_frames(s, self._queues[sid])
+            if self._wr[s] > self._rd[s]:
                 active[s] = True
                 fed_sids[s] = sid
             else:
@@ -218,10 +306,13 @@ class StreamingEngine:
             self._flags_key = key
             self._admit_dev = jnp.asarray(admit)
             self._active_dev = jnp.asarray(active)
-        pooled, self._cache = self._step(
-            self.params, jnp.asarray(frame), self._cache,
+        pooled, self._cache, self._rd_dev = self._step(
+            self.params, self._stage, self._rd_dev, self._cache,
             self._admit_dev, self._active_dev,
         )
+        for s in range(self.slots):
+            if active[s]:
+                self._rd[s] += 1
         if self.collect:
             self._stash.append((pooled, fed_sids))
             if len(self._stash) >= self._stash_limit:
@@ -259,7 +350,10 @@ class StreamingEngine:
         out = self._results[sid]
         feats = np.stack(out) if out else empty
         self._results[sid] = []
-        done = sid in self._closed and not self._queues[sid]
+        # staged frames leave the host queue at feed time, so completion is
+        # "every frame ever fed has been served", not an empty queue
+        done = (sid in self._closed and not self._queues[sid]
+                and self._served[sid] == self._fed[sid])
         if done:
             for d in (self._queues, self._results, self._served, self._fed):
                 d.pop(sid, None)

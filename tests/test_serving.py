@@ -268,3 +268,22 @@ def test_engine_ring_feed_or_close_contract(params, monkeypatch):
     eng.tick()
     with pytest.raises(AssertionError, match="starved a ring-mode slot"):
         eng.tick()  # starved, not closed
+
+
+def test_engine_nonpow2_stage_depth(params):
+    """The staging ring's pow-2 padded scatter must not alias real frames
+    when the ring depth is not a power of two (padding rows wrapping mod
+    depth would collide with valid rows; they must be dropped instead)."""
+    rng = np.random.default_rng(7)
+    n = 5  # pads to 8 > depth=6: rows 5..7 wrap onto ring slots 0..2
+    clip = rng.standard_normal((n, 3, 32, 32)).astype(np.float32)
+
+    eng = StreamingEngine(params, CFG, slots=1, stage_depth=6)
+    sid = eng.open()
+    eng.feed(sid, clip)
+    eng.close(sid)
+    eng.run_until_idle()
+    feats, done = eng.poll(sid)
+    assert done
+    np.testing.assert_allclose(
+        feats, lone_stream(params, clip), rtol=0, atol=1e-5)
