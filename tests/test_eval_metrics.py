@@ -218,3 +218,57 @@ def test_ytvis_ap_end_to_end_from_tracker_output():
     r = ytvis.evaluate_ytvis(rows, gts)
     assert r["AP"] == 1.0
     assert set(r["per_class"]) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Track visualizer (eval/visualize.py vs reference demo/visualizer.py contract)
+# ---------------------------------------------------------------------------
+
+
+def test_overlay_masks_blends_and_is_stable():
+    from streamformer_tpu.eval import visualize
+
+    frame = np.full((16, 20, 3), 100, np.uint8)
+    m = _box_mask(16, 20, 4, 12)
+    out = visualize.overlay_masks(frame, m[None], [3], scores=[0.9])
+    assert out.dtype == np.uint8 and out.shape == frame.shape
+    # untouched outside the mask columns + label strip
+    assert (out[6:, 13:, :] == 100).all()
+    # blended inside: alpha=0.45 of the track color over gray-100
+    color = visualize.track_color(3).astype(np.float32)
+    interior = np.asarray(m, bool).copy()
+    interior &= ~visualize._contour(m)
+    exp = np.clip(0.55 * 100 + 0.45 * color, 0, 255).astype(np.uint8)
+    ys, xs = np.nonzero(interior)
+    # sample a pixel far from the label strip
+    assert (out[ys.max(), xs.max()] == exp).all()
+    # contour is the solid color
+    cy, cx = np.nonzero(visualize._contour(m))
+    assert (out[cy[-1], cx[-1]] == color.astype(np.uint8)).all()
+    # per-track color is deterministic and id-distinct
+    assert (visualize.track_color(3) == visualize.track_color(3)).all()
+    assert (visualize.track_color(3) != visualize.track_color(4)).any()
+    # input frame untouched
+    assert (frame == 100).all()
+
+
+def test_render_video_tracks_threshold_and_save(tmp_path):
+    from streamformer_tpu.eval import visualize
+
+    frames = [np.zeros((12, 12, 3), np.uint8) for _ in range(2)]
+    m = _box_mask(12, 12, 2, 8)
+    frame_outputs = [
+        {"track_ids": [0, 1], "category_ids": [1, 2],
+         "scores": [0.9, 0.01], "masks": np.stack([m, m])}
+        for _ in range(2)
+    ]
+    rendered = visualize.render_video_tracks(
+        frames, frame_outputs, class_names={1: "person"},
+        score_threshold=0.5)
+    assert len(rendered) == 2
+    # only the 0.9-score track painted: its color present, track 1's absent
+    c0 = visualize.track_color(0)
+    assert (rendered[0] == c0).all(axis=-1).any()
+    out = visualize.save_rendered(rendered, str(tmp_path / "viz"))
+    import os
+    assert sorted(os.listdir(out)) == ["00000.png", "00001.png"]
