@@ -73,6 +73,8 @@ class StreamingEngine:
         mode: str = "auto",
         collect: Optional[str] = "pooled",
         stage_depth: Optional[int] = None,
+        stage_dtype: Optional[str] = None,
+        normalize: Optional[Tuple] = None,
     ):
         capacity = capacity or cfg.cache_capacity
         if mode == "auto":
@@ -97,9 +99,23 @@ class StreamingEngine:
         # ring-mode streams that outrun Q overflow to the host queue and
         # re-stage as the ring drains.
         self._stage_depth = int(stage_depth or capacity)
+        # uint8 staging: feed() takes decoded 0..255 frames as-is and the
+        # tick normalizes ON DEVICE after the gather — 4x less ingest
+        # traffic and a 4x smaller ring than fp32/bf16 staging, and the
+        # host never touches float pixels (the decoded-video serving path)
+        assert stage_dtype in (None, "uint8"), stage_dtype
+        self._stage_u8 = stage_dtype == "uint8"
+        assert normalize is None or self._stage_u8, \
+            "normalize applies to uint8 staging (float feeds pre-normalize)"
+        self._norm = None
+        if normalize is not None:
+            mean, std = normalize
+            self._norm = (np.asarray(mean, np.float32).reshape(1, 1, -1, 1, 1),
+                          np.asarray(std, np.float32).reshape(1, 1, -1, 1, 1))
         c, hw = 3, self.cfg.image_size
         self._stage = jnp.zeros(
-            (slots, self._stage_depth, c, hw, hw), self._dt
+            (slots, self._stage_depth, c, hw, hw),
+            jnp.uint8 if self._stage_u8 else self._dt,
         )
         self._rd_dev = jnp.zeros((slots,), jnp.int32)  # in-program read ptrs
         self._wr = [0] * slots  # absolute frames staged, host-side
@@ -113,6 +129,7 @@ class StreamingEngine:
         self._served: Dict[int, int] = {}
         self._fed: Dict[int, int] = {}  # total frames fed per stream
         self._pending: deque = deque()  # sids waiting for a slot
+        self._admit_next: set = set()  # slots granted since the last tick
         self._next_sid = 0
         # device-side output stash: (tick outputs, per-slot sid) demuxed
         # lazily at poll time so ticks never sync on the device; bounded —
@@ -132,6 +149,7 @@ class StreamingEngine:
     def _make_step(self):
         cfg = self.cfg
         slots, depth = self.slots, self._stage_depth
+        u8, norm, dt = self._stage_u8, self._norm, self._dt
 
         # donate cache + read ptrs (both replaced every tick); NEVER donate
         # admit/active — they are cached device operands reused across
@@ -143,6 +161,15 @@ class StreamingEngine:
             # re-stages the new stream from ring position 0)
             rd = jnp.where(admit, 0, rd)
             frame = stage[jnp.arange(slots), rd % depth][:, None]
+            if u8:
+                # normalize on device in fp32, then cast once — the same
+                # (x/255 - mean)/std a host-side fp32 preprocess computes,
+                # equal to feeding normalized floats up to fp32 rounding
+                # (tests/test_serving.py pins it at 1e-6)
+                f = frame.astype(jnp.float32) / 255.0
+                if norm is not None:
+                    f = (f - norm[0]) / norm[1]
+                frame = f.astype(dt)
             cache = encoder.reset_streams(cache, admit)
             out, cache = encoder.streaming_forward(params, frame, cache,
                                                    cfg=cfg)
@@ -221,7 +248,14 @@ class StreamingEngine:
         contract extract_features_batched enforces). Ring mode streams are
         unbounded (sliding window)."""
         assert sid in self._queues and sid not in self._closed, sid
-        frames = np.asarray(frames, self._dt)
+        if self._stage_u8:
+            frames = np.asarray(frames)
+            assert frames.dtype == np.uint8, (
+                f"uint8-staging engine feeds decoded uint8 frames, got "
+                f"{frames.dtype} (normalization happens on device)"
+            )
+        else:
+            frames = np.asarray(frames, self._dt)
         if (self.mode == "linear"
                 and self._fed[sid] + len(frames) > self.cfg.cache_capacity):
             raise ValueError(
@@ -233,9 +267,14 @@ class StreamingEngine:
         for f in frames:
             self._queues[sid].append(f)
         # live-fed slotted streams stage at ingest time (one bulk upload
-        # per feed call) so the tick itself uploads nothing
+        # per feed call) so the tick itself uploads nothing; granting is
+        # eager so a stream opened after others finished starts staging on
+        # its FIRST feed, not after the next tick reclaims the slot
+        self._grant_slots()
         if sid in self._slot_sid:
-            self._stage_frames(self._slot_sid.index(sid), self._queues[sid])
+            s = self._slot_sid.index(sid)
+            if self._wr[s] - self._rd[s] < self._stage_depth:
+                self._stage_frames(s, self._queues[sid])
 
     def close(self, sid: int) -> None:
         """End-of-stream: remaining queued frames still get served."""
@@ -246,14 +285,16 @@ class StreamingEngine:
             s is not None for s in self._slot_sid
         )
 
-    def tick(self) -> bool:
-        """Advance every feedable slot one frame; returns False when there
-        was nothing to do (no occupied slot fed, nothing admitted)."""
-        admit = np.zeros(self.slots, bool)
-        # retire drained closed streams, admit pending into free slots —
-        # only streams that can feed THIS tick take a slot (an idle admit
-        # would start ring streams with a hold, which ring cannot do)
+    def _grant_slots(self) -> None:
+        """Retire drained closed streams, grant free slots to feedable
+        pending streams (strict FIFO: the head blocks until it can feed).
+
+        Called from both feed() and tick() so staging starts at ingest
+        time; a granted slot is recorded in ``_admit_next`` and its cache
+        reset happens on the next tick (the compiled step's ``admit``)."""
         for s in range(self.slots):
+            if s in self._admit_next:
+                continue  # freshly granted; its admit tick hasn't run yet
             sid = self._slot_sid[s]
             if sid is not None and (
                 sid not in self._queues  # reclaimed by poll()
@@ -270,12 +311,23 @@ class StreamingEngine:
                     continue
                 if self._queues[head]:
                     self._slot_sid[s] = self._pending.popleft()
-                    admit[s] = True
+                    self._admit_next.add(s)
                     # restart the slot's staging ring for the new stream
                     # (the compiled step resets its read pointer on admit)
                     self._wr[s] = self._rd[s] = 0
                     self._stage_frames(s, self._queues[head])
                 break
+
+    def tick(self) -> bool:
+        """Advance every feedable slot one frame; returns False when there
+        was nothing to do (no occupied slot fed, nothing admitted)."""
+        # only streams that can feed on grant take a slot (an idle admit
+        # would start ring streams with a hold, which ring cannot do)
+        self._grant_slots()
+        admit = np.zeros(self.slots, bool)
+        for s in self._admit_next:
+            admit[s] = True
+        self._admit_next.clear()
 
         active = np.zeros(self.slots, bool)
         fed_sids: List[Optional[int]] = [None] * self.slots

@@ -287,3 +287,69 @@ def test_engine_nonpow2_stage_depth(params):
     assert done
     np.testing.assert_allclose(
         feats, lone_stream(params, clip), rtol=0, atol=1e-5)
+
+
+def test_engine_uint8_staging_matches_float_feed(params):
+    """uint8 staging + on-device (x/255 - mean)/std == feeding host-
+    normalized fp32 frames up to fp32 rounding (XLA compiles the divide
+    as a reciprocal multiply, so exact bit-equality with numpy's divide
+    is not guaranteed — the contract is fp32-level equivalence)."""
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (7, 3, 32, 32), dtype=np.uint8)
+    mean = (0.481, 0.457, 0.408)
+    std = (0.268, 0.261, 0.275)
+
+    e8 = StreamingEngine(params, CFG, slots=2, stage_dtype="uint8",
+                         normalize=(mean, std))
+    s8 = e8.open()
+    e8.feed(s8, raw)
+    e8.close(s8)
+    e8.run_until_idle()
+    got, done = e8.poll(s8)
+    assert done
+
+    m = np.asarray(mean, np.float32).reshape(1, 3, 1, 1)
+    sd = np.asarray(std, np.float32).reshape(1, 3, 1, 1)
+    host = (raw.astype(np.float32) / 255.0 - m) / sd
+    ef = StreamingEngine(params, CFG, slots=2)
+    sf = ef.open()
+    ef.feed(sf, host)
+    ef.close(sf)
+    ef.run_until_idle()
+    ref, _ = ef.poll(sf)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    with pytest.raises(AssertionError, match="uint8"):
+        e2 = StreamingEngine(params, CFG, slots=1, stage_dtype="uint8")
+        e2.feed(e2.open(), host)  # float frames rejected on the u8 path
+
+
+def test_feed_stages_at_ingest_before_any_tick(params):
+    """Eager slot grant: a feed() on a freshly opened stream (or one
+    opened after earlier streams finished) stages to the device BEFORE
+    any tick, so ingest upload never lands inside the serving loop."""
+    rng = np.random.default_rng(4)
+    clip = rng.standard_normal((5, 3, 32, 32)).astype(np.float32)
+
+    eng = StreamingEngine(params, CFG, slots=1)
+    a = eng.open()
+    eng.feed(a, clip)
+    assert eng._wr[0] == 5 and eng._slot_sid[0] == a  # staged pre-tick
+    eng.close(a)
+    eng.run_until_idle()
+    fa, done = eng.poll(a)
+    assert done
+
+    # second generation: the slot is still formally held by the finished
+    # stream until reclaim — feed() must reclaim + grant + stage eagerly
+    b = eng.open()
+    eng.feed(b, clip[:3])
+    assert eng._slot_sid[0] == b and eng._wr[0] == 3
+    eng.feed(b, clip[3:])
+    assert eng._wr[0] == 5
+    eng.close(b)
+    eng.run_until_idle()
+    fb, done = eng.poll(b)
+    assert done
+    np.testing.assert_allclose(fa, fb, atol=1e-6)
+    np.testing.assert_allclose(fa, lone_stream(params, clip), atol=1e-5)
