@@ -642,37 +642,46 @@ def main():
             max_position_embeddings=1024, dtype="bfloat16",
         )
         lm_params = LMM.init_params(jax.random.PRNGKey(7), lm_cfg)
-        S, CAPL = 8, 512
-        lm_cache = LMM.init_cache(lm_cfg, S, CAPL, per_stream_len=True)
-        lens0 = jnp.asarray(
-            np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32
-        )
+        CAPL = 512
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def lm_step(p, toks, cache):
-            # pin mixed steady-state depths: every step attends a
-            # 64-448-deep window per slot (ragged), like live traffic
-            cache = {**cache, "len": lens0}
-            emb = LMM.embed_tokens(p, toks)[:, None]
-            out, cache = LMM.forward(p, emb, lm_cfg, cache=cache)
-            return (
-                jnp.argmax(out["logits"][:, -1], -1).astype(jnp.int32),
-                cache,
+        def measure(S, field):
+            lm_cache = LMM.init_cache(lm_cfg, S, CAPL, per_stream_len=True)
+            lens0 = jnp.asarray(
+                np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32
             )
 
-        toks = jnp.zeros((S,), jnp.int32)
-        toks, lm_cache = lm_step(lm_params, toks, lm_cache)
-        _ = int(jnp.sum(toks))
+            @partial(jax.jit, donate_argnums=(2,))
+            def lm_step(p, toks, cache):
+                # pin mixed steady-state depths: every step attends a
+                # 64-448-deep window per slot (ragged), like live traffic
+                cache = {**cache, "len": lens0}
+                emb = LMM.embed_tokens(p, toks)[:, None]
+                out, cache = LMM.forward(p, emb, lm_cfg, cache=cache)
+                return (
+                    jnp.argmax(out["logits"][:, -1], -1).astype(jnp.int32),
+                    cache,
+                )
 
-        def timed_lm(k):
-            nonlocal toks, lm_cache
-            t0 = time.perf_counter()
-            for _ in range(k):
-                toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+            toks = jnp.zeros((S,), jnp.int32)
+            toks, lm_cache = lm_step(lm_params, toks, lm_cache)
             _ = int(jnp.sum(toks))
-            return time.perf_counter() - t0
 
-        _PARTIAL["lm_decode_tok_per_sec"] = round(S / two_point(timed_lm), 1)
+            def timed_lm(k):
+                nonlocal toks, lm_cache
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    toks, lm_cache = lm_step(lm_params, toks, lm_cache)
+                _ = int(jnp.sum(toks))
+                return time.perf_counter() - t0
+
+            _PARTIAL[field] = round(S / two_point(timed_lm), 1)
+
+        measure(8, "lm_decode_tok_per_sec")
+        # throughput-oriented occupancy: decode amortizes the per-step
+        # weight read over more slots (4334 -> 6353 -> 7261 tok/s at
+        # S=8/32/64 measured r4; latency 1.9 -> 5.0 -> 8.8 ms/step) —
+        # report the 32-slot point (good tput/latency balance)
+        measure(32, "lm_decode_tok_per_sec_32slots")
         lm_state["cfg"] = lm_cfg
         lm_state["params"] = lm_params  # reused by sec_lm_engine
 
@@ -778,6 +787,8 @@ def main():
             "engine_ingest_mb_per_sec": _PARTIAL.get(
                 "engine_ingest_mb_per_sec"),
             "lm_decode_tok_per_sec": _PARTIAL.get("lm_decode_tok_per_sec"),
+            "lm_decode_tok_per_sec_32slots": _PARTIAL.get(
+                "lm_decode_tok_per_sec_32slots"),
             "lm_engine_tok_per_sec": _PARTIAL.get("lm_engine_tok_per_sec"),
             "train_clips_per_sec": _PARTIAL.get("train_clips_per_sec"),
             "train_mfu": _PARTIAL.get("train_mfu"),

@@ -353,3 +353,31 @@ def test_feed_stages_at_ingest_before_any_tick(params):
     assert done
     np.testing.assert_allclose(fa, fb, atol=1e-6)
     np.testing.assert_allclose(fa, lone_stream(params, clip), atol=1e-5)
+
+
+def test_engine_overflow_drain_restages_as_ring_frees(params):
+    """A stream fed more frames than the staging ring holds keeps frames
+    in the host queue and re-stages them tick by tick as the ring frees —
+    output must still equal the lone-stream oracle (uint8 path, so the
+    overflow drain and the on-device normalize compose)."""
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, (10, 3, 32, 32), dtype=np.uint8)
+
+    eng = StreamingEngine(params, CFG, slots=1, stage_depth=4,
+                          stage_dtype="uint8")
+    sid = eng.open()
+    eng.feed(sid, raw)  # 10 frames into a depth-4 ring: 6 overflow
+    assert eng._wr[0] == 4 and len(eng._queues[sid]) == 6
+    eng.close(sid)
+    eng.run_until_idle()
+    feats, done = eng.poll(sid)
+    assert done and feats.shape[0] == 10
+
+    host = raw.astype(np.float32) / 255.0
+    e2 = StreamingEngine(params, CFG, slots=1)
+    s2 = e2.open()
+    e2.feed(s2, host)
+    e2.close(s2)
+    e2.run_until_idle()
+    ref, _ = e2.poll(s2)
+    np.testing.assert_allclose(feats, ref, atol=1e-6)
