@@ -725,6 +725,90 @@ def main():
             max(engine_run() for _ in range(2)), 1
         )
 
+    def sec_lm_7b():
+        """Qwen2.5-7B-geometry int8 decode on ONE 16 GB chip (the
+        reference's VideoQA tower is Qwen2.5-7B on 80 GB GPUs,
+        downstream/VideoQA/scripts/*7b*). int8 weights (~8.2 GB incl. the
+        bf16 embedding) + int8 KV fit the v5e-lite HBM; weights are built
+        on device already quantized — a real deployment quantizes trained
+        weights host-side (ops/quant walk), but for throughput the values
+        are random either way and this skips a ~7 GB tunnel upload.
+        Decode is weights-bandwidth-bound, so measured tok/s tracks
+        HBM-BW/weight-bytes; 32 slots amortize the read 4x."""
+        from streamformer_tpu.models import language_model as LMM
+
+        cfg7 = LMM.LMConfig(
+            vocab_size=152_064, hidden_size=3584,
+            num_hidden_layers=28, num_attention_heads=28,
+            num_key_value_heads=4, intermediate_size=18_944,
+            max_position_embeddings=2048, dtype="bfloat16",
+        )
+        d, m, dh = cfg7.hidden_size, cfg7.intermediate_size, cfg7.head_dim
+        hq, hkv = cfg7.num_attention_heads, cfg7.num_key_value_heads
+
+        @jax.jit
+        def build(key):
+            ks = iter(jax.random.split(key, cfg7.num_hidden_layers * 7 + 3))
+
+            def dense(i, o):
+                q = jax.random.randint(next(ks), (i, o), -127, 128, jnp.int8)
+                return {"kernel_q": q,
+                        "kernel_scale": jnp.full((o,), 0.02 / 127,
+                                                 jnp.float32)}
+
+            def layer():
+                return {
+                    "input_layernorm": jnp.ones((d,), jnp.float32),
+                    "post_attention_layernorm": jnp.ones((d,), jnp.float32),
+                    "attn": {"q": dense(d, hq * dh), "k": dense(d, hkv * dh),
+                             "v": dense(d, hkv * dh), "o": dense(hq * dh, d)},
+                    "mlp": {"gate": dense(d, m), "up": dense(d, m),
+                            "down": dense(m, d)},
+                }
+
+            head = dense(d, cfg7.vocab_size)
+            return {
+                "embed_tokens": (jax.random.normal(
+                    next(ks), (cfg7.vocab_size, d), jnp.bfloat16) * 0.02),
+                "layers": [layer() for _ in range(cfg7.num_hidden_layers)],
+                "norm": jnp.ones((d,), jnp.float32),
+                "lm_head_q": head["kernel_q"],
+                "lm_head_scale": head["kernel_scale"],
+            }
+
+        p7 = build(jax.random.PRNGKey(0))
+
+        def measure(S, field):
+            cache = LMM.init_cache(cfg7, S, 512, per_stream_len=True,
+                                   cache_dtype="int8")
+            lens0 = jnp.asarray(
+                np.random.default_rng(8).integers(64, 448, (S,)), jnp.int32)
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(p, toks, cache):
+                cache = {**cache, "len": lens0}
+                emb = LMM.embed_tokens(p, toks)[:, None]
+                out, cache = LMM.forward(p, emb, cfg7, cache=cache)
+                return (jnp.argmax(out["logits"][:, -1], -1)
+                        .astype(jnp.int32), cache)
+
+            toks = jnp.zeros((S,), jnp.int32)
+            toks, cache = step(p7, toks, cache)
+            _ = int(jnp.sum(toks))
+
+            def timed(k):
+                nonlocal toks, cache
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    toks, cache = step(p7, toks, cache)
+                _ = int(jnp.sum(toks))
+                return time.perf_counter() - t0
+
+            _PARTIAL[field] = round(S / two_point(timed), 1)
+
+        measure(8, "lm7b_int8_tok_per_sec")
+        measure(32, "lm7b_int8_tok_per_sec_32slots")
+
     try:
         if on_tpu:
             if budget_left(1300):
@@ -753,6 +837,11 @@ def main():
                 _section("lm-decode", sec_lm_decode)
             if lm_state and budget_left(2150):
                 _section("lm-engine", sec_lm_engine)
+            # LAST: the 7B program is the slowest compile (~5 min through
+            # the tunnel) and the largest allocation (~8.5 GB) — nothing
+            # downstream can be hurt if it exhausts either budget
+            if budget_left(1700):
+                _section("lm-7b-int8", sec_lm_7b)
 
         if (
             os.environ.get("STREAMFORMER_BENCH_SKIP_TORCH") != "1"
@@ -789,6 +878,9 @@ def main():
             "lm_decode_tok_per_sec": _PARTIAL.get("lm_decode_tok_per_sec"),
             "lm_decode_tok_per_sec_32slots": _PARTIAL.get(
                 "lm_decode_tok_per_sec_32slots"),
+            "lm7b_int8_tok_per_sec": _PARTIAL.get("lm7b_int8_tok_per_sec"),
+            "lm7b_int8_tok_per_sec_32slots": _PARTIAL.get(
+                "lm7b_int8_tok_per_sec_32slots"),
             "lm_engine_tok_per_sec": _PARTIAL.get("lm_engine_tok_per_sec"),
             "train_clips_per_sec": _PARTIAL.get("train_clips_per_sec"),
             "train_mfu": _PARTIAL.get("train_mfu"),

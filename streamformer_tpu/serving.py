@@ -75,6 +75,8 @@ class StreamingEngine:
         stage_depth: Optional[int] = None,
         stage_dtype: Optional[str] = None,
         normalize: Optional[Tuple] = None,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        mesh_axis: str = "data",
     ):
         capacity = capacity or cfg.cache_capacity
         if mode == "auto":
@@ -144,6 +146,42 @@ class StreamingEngine:
         self._flags_key: Optional[bytes] = None
         self._admit_dev = jnp.zeros((slots,), bool)
         self._active_dev = jnp.zeros((slots,), bool)
+        # multi-chip serving: shard the slot axis of every large per-slot
+        # buffer over `mesh_axis` — each device serves slots/n_devices
+        # streams with NO cross-device traffic in the steady-state tick
+        # (the ragged cache's per-stream rows and the staging ring are both
+        # slot-local; params are replicated). The host loop is unchanged:
+        # GSPMD keeps donated outputs on their input shardings, so one
+        # engine drives the whole mesh. Host<->device transfers (staging
+        # writes, stash drains) route per-shard automatically.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert slots % mesh.shape[mesh_axis] == 0, (
+                f"slots={slots} must divide over mesh axis "
+                f"'{mesh_axis}'={mesh.shape[mesh_axis]}"
+            )
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            # cache leaves: flat pos-major (C, B*N, D) shard dim 1 (rows
+            # are b-major, chunks align with stream boundaries); (B,) lens
+            # shard dim 0 — same rule as the dryrun's sharded serving
+            self._cache = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, P(*(
+                        [None, mesh_axis] + [None] * (x.ndim - 2))))
+                ) if x.ndim >= 2
+                else jax.device_put(x, NamedSharding(mesh, P(mesh_axis))),
+                self._cache,
+            )
+            self._stage = jax.device_put(
+                self._stage,
+                NamedSharding(mesh, P(mesh_axis, *([None] * 4))),
+            )
+            # tiny (slots,) operands stay replicated: rebuilding them is a
+            # scalar upload and the gathers they index are slot-local
+            for name in ("_rd_dev", "_admit_dev", "_active_dev"):
+                setattr(self, name,
+                        jax.device_put(getattr(self, name), repl))
 
     # -- one compiled tick ------------------------------------------------
     def _make_step(self):

@@ -381,3 +381,34 @@ def test_engine_overflow_drain_restages_as_ring_frees(params):
     e2.run_until_idle()
     ref, _ = e2.poll(s2)
     np.testing.assert_allclose(feats, ref, atol=1e-6)
+
+
+def test_engine_mesh_sharded_matches_unsharded(params):
+    """mesh= shards the slot axis of cache + staging ring over the data
+    axis (multi-chip serving): outputs must equal the unsharded engine
+    exactly across admission churn and uint8 staging."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(11)
+    clips = {i: rng.integers(0, 256, (n, 3, 32, 32), dtype=np.uint8)
+             for i, n in enumerate([5, 3, 6, 2, 4, 7])}  # 6 streams, 4 slots
+
+    def run(mesh):
+        eng = StreamingEngine(params, CFG, slots=4, stage_dtype="uint8",
+                              mesh=mesh)
+        sids = {}
+        for i, c in clips.items():
+            sids[i] = eng.open()
+            eng.feed(sids[i], c[: len(c) // 2])
+        for i, c in clips.items():
+            eng.feed(sids[i], c[len(c) // 2:])
+            eng.close(sids[i])
+        eng.run_until_idle()
+        return {i: eng.poll(s)[0] for i, s in sids.items()}
+
+    sharded, plain = run(mesh), run(None)
+    for i in clips:
+        np.testing.assert_allclose(sharded[i], plain[i], atol=1e-6,
+                                   err_msg=f"stream {i}")
