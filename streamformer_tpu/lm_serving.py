@@ -62,6 +62,8 @@ class DecodeEngine:
         seed: int = 0,
         cache_dtype: Optional[str] = None,
         eos_interval: int = 8,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        mesh_axis: str = "data",
     ):
         """``temperature=0`` (default) decodes greedily. With
         ``temperature>0``, tokens are sampled from the tempered softmax,
@@ -147,6 +149,34 @@ class DecodeEngine:
         self._stash_limit = 512
         self._ticks_since_drain = 0
         self._eos_trimmed: set = set()  # sids finished by a drained EOS
+        # multi-chip DATA-parallel serving: shard the slot axis of the big
+        # KV cache over `mesh_axis` — each device decodes slots/n_devices
+        # streams (params replicated; the batch-1 prefill cache and the
+        # tiny (slots,) operands stay replicated — write_slot's masked
+        # dynamic-update touches one shard). Composes with the TP specs in
+        # parallel/sharding.py on a 2-D mesh by replicating params over
+        # `data` and sharding them over `model` instead.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert slots % mesh.shape[mesh_axis] == 0, (
+                f"slots={slots} must divide over mesh axis "
+                f"'{mesh_axis}'={mesh.shape[mesh_axis]}"
+            )
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            # LM cache leaves: k/v (+scales) are (B, cap, ...) — batch dim
+            # 0 — and "len" is (B,): all shard on dim 0
+            self._cache = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, P(*(
+                        [mesh_axis] + [None] * (x.ndim - 1))))),
+                self._cache,
+            )
+            self._prefill_cache = jax.device_put(self._prefill_cache, repl)
+            for name in ("_last_tok_dev", "_active_dev", "_sids_dev",
+                         "_counts_dev"):
+                setattr(self, name,
+                        jax.device_put(getattr(self, name), repl))
 
     # -- compiled programs --------------------------------------------------
     def _select_fn(self):

@@ -508,3 +508,31 @@ def test_lazy_eos_matches_per_tick_sync(lm):
     one.run_until_idle()
     t, d = one.poll(s)
     assert d and len(t) == 1
+
+
+def test_engine_mesh_sharded_matches_unsharded(lm):
+    """mesh= shards the big KV cache's slot axis over the data axis
+    (multi-chip DP serving): every request's tokens must equal the
+    unsharded engine's across prefill buckets, recycled slots and holds."""
+    from jax.sharding import Mesh
+
+    cfg, params = lm
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,))
+               for n in [3, 7, 2, 6, 5, 4]]  # 6 requests over 4 slots
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    def run(mesh):
+        eng = DecodeEngine(params, cfg, slots=4, capacity=24,
+                           max_new_tokens=5, prefill_buckets=(4, 8),
+                           mesh=mesh)
+        sids = [eng.open(_emb(params, ids)) for ids in prompts]
+        eng.run_until_idle()
+        out = []
+        for sid in sids:
+            toks, done = eng.poll(sid)
+            assert done, f"stream {sid} not finished"
+            out.append(toks)
+        return out
+
+    assert run(mesh) == run(None)
