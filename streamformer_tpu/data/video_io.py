@@ -122,13 +122,19 @@ def sparse_sample_indices(
         for i in range(num_segments):
             start, end = int(np.round(seg_size * i)), int(np.round(seg_size * (i + 1)))
             out.append(min((start + end) // 2, num_frames_total - 1))
-    else:  # test: chunk_nb selects the deterministic offset within segments
+    elif mode == "test":  # chunk_nb = deterministic offset within segments
         for i in range(num_segments):
             start = int(np.round(seg_size * i))
             frac = (test_chunk + 0.5) / test_num_segment
             out.append(
                 min(start + int(np.round(seg_size * frac)), num_frames_total - 1)
             )
+    else:
+        # strict: a typo like "val" silently sampling the test protocol
+        # is an off-by-frames eval bug, not a fallback
+        raise ValueError(
+            f"mode must be train|validation|test, got {mode!r}"
+        )
     return np.asarray(out, np.int64)
 
 

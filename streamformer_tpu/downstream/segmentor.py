@@ -636,14 +636,22 @@ class HungarianTracker:
             ms = self._match_scores(embeddings, bank)
             if self.match_type == "hungarian":
                 if self.frame_weight:
-                    # prefer long-lived tracklets among above-threshold
-                    # candidates (reference hungarian_tracker.py:290-299,
-                    # +1.6 AP)
-                    w = np.where(
-                        ms > self.match_score_thr, exist[None, :],
-                        exist.mean(),
-                    )
-                    weighted = ms * w
+                    # global-assignment variant of the reference's per-row
+                    # rule (hungarian_tracker.py:290-299, +1.6 AP): among
+                    # >1 above-threshold candidates prefer long-lived
+                    # tracklets; below-threshold entries are scaled by the
+                    # mean exist of the VALID candidates only (so a
+                    # long-lived but low-score tracklet can never outbid
+                    # the valid set), and rows with <=1 valid candidate
+                    # stay unweighted
+                    weighted = ms.copy()
+                    for i in range(n):
+                        valid = ms[i] > self.match_score_thr
+                        if valid.sum() > 1:
+                            weighted[i] = np.where(
+                                valid, ms[i] * exist,
+                                ms[i] * exist[valid].mean(),
+                            )
                 else:
                     weighted = ms
                 from scipy.optimize import linear_sum_assignment
@@ -664,8 +672,13 @@ class HungarianTracker:
                     row = ms_work[i]
                     valid = row > self.match_score_thr
                     if self.frame_weight and valid.sum() > 1:
+                        # invalid entries scale by the mean exist of the
+                        # VALID candidates (exist_frames[valid_indices]
+                        # .mean(), hungarian_tracker.py:296-299) — the
+                        # all-tracklet mean would let a long-lived
+                        # below-threshold tracklet outbid the valid set
                         row = np.where(
-                            valid, row * exist, row * exist.mean()
+                            valid, row * exist, row * exist[valid].mean()
                         )
                     k = int(np.argmax(row))
                     if row[k] > self.match_score_thr:

@@ -207,7 +207,7 @@ def run_eval(args, cfg, lm_cfg, params, tok, rows, load_video):
                 tower.clear_cache()  # fresh stream per question
                 emb = np.asarray(
                     model.prompt_embeds(ids, load_video(row["video"],
-                                                        mode="val")),
+                                                        mode="validation")),
                     np.float32,
                 )
                 live[eng.open(emb)] = [i, row, 0, qs, [], emb]
@@ -353,15 +353,20 @@ def main():
             cfg, lm_cfg, stage=args.stage, beta=args.dpo_beta,
             dpo_alpha=args.dpo_alpha, gamma=args.dpo_gamma,
         )
-        ref_params = jax.tree.map(jnp.copy, params)  # frozen reference model
+        if not args.eval:  # the frozen DPO reference doubles param memory
+            ref_params = jax.tree.map(jnp.copy, params)
     else:
         tx, step = VQ.make_videoqa_train_step(cfg, lm_cfg, args.stage)
-    opt_state = tx.init(params)
+    # optimizer state (2x param memory) is allocated on the training path
+    # only — eval with --ckpt builds it lazily as a restore template
+    opt_state = None if args.eval else tx.init(params)
 
     with open(args.data) as f:
-        first = f.read(1)
+        head = f.read(64)
         f.seek(0)
-        if first == "[":
+        # sniff past leading whitespace: pretty-printed JSON arrays open
+        # with "\n[" / indentation, which is still JSON, not JSONL
+        if head.lstrip()[:1] == "[":
             rows = json.load(f)
         else:  # JSONL question files (reference eval inputs ship both)
             rows = [json.loads(ln) for ln in f if ln.strip()]
@@ -378,7 +383,7 @@ def main():
     if args.eval:
         if args.ckpt:
             state = ckpt_lib.auto_resume(args.ckpt, {
-                "params": params, "opt_state": opt_state,
+                "params": params, "opt_state": tx.init(params),
                 "meta": {"epoch": np.asarray(0, np.int64),
                          "step": np.asarray(0, np.int64)},
             })

@@ -523,6 +523,15 @@ class DecodeEngine:
             self._results[sid] = []
         return out, done
 
+    def has_work(self) -> bool:
+        """True iff tick() would make progress — every occupied slot
+        decodes every tick, and a pending request implies either admission
+        (free slot) or decode progress. Lives on the engine so servers
+        never re-encode scheduling rules."""
+        return bool(self._pending) or any(
+            sid is not None for sid in self._slot_sid
+        )
+
     def run_until_idle(self, max_ticks: int = 100_000) -> int:
         n = 0
         while n < max_ticks and self.tick():

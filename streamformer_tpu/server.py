@@ -236,35 +236,11 @@ class StreamingServer(_HTTPServerBase):
             "slots_occupied": sum(s is not None for s in e._slot_sid),
         }
 
-    def _tick_has_work(self) -> bool:
-        """True iff tick() would actually feed a frame — mirrors the
-        engine's admission rules so the actor never spins on no-op ticks
-        (e.g. a stream opened but not yet fed)."""
-        e = self._engine
-        if any(
-            sid is not None
-            and (e._wr[s] > e._rd[s] or e._queues.get(sid))
-            for s, sid in enumerate(e._slot_sid)
-        ):
-            return True
-        slot_free = any(
-            sid is None or sid not in e._queues
-            or (sid in e._closed and not e._queues[sid]
-                and e._wr[s] == e._rd[s])
-            for s, sid in enumerate(e._slot_sid)
-        )
-        if not slot_free:
-            return False
-        for h in e._pending:  # effective FIFO head decides admission
-            if h not in e._queues or (
-                h in e._closed and not e._queues[h]
-            ):
-                continue
-            return bool(e._queues[h])
-        return False
-
     def start(self):
-        self._actor = _EngineActor(self._engine, self._tick_has_work)
+        # the work predicate lives on the engine (has_work), next to the
+        # scheduling code it mirrors — the server must never re-encode
+        # admission rules
+        self._actor = _EngineActor(self._engine, self._engine.has_work)
         server = self
 
         class Handler(_JSONHandler):
@@ -351,14 +327,6 @@ class DecodeServer(_HTTPServerBase):
         super().__init__(host, port)
         self._engine = DecodeEngine(params, lm_cfg, **engine_kw)
 
-    def _tick_has_work(self) -> bool:
-        # every occupied slot decodes every tick, and pending implies
-        # either admission (free slot) or decode progress — precise
-        e = self._engine
-        return bool(e._pending) or any(
-            sid is not None for sid in e._slot_sid
-        )
-
     @staticmethod
     def _op_open(e, emb, max_new):
         if max_new is None:
@@ -388,7 +356,7 @@ class DecodeServer(_HTTPServerBase):
         )
 
     def start(self):
-        self._actor = _EngineActor(self._engine, self._tick_has_work)
+        self._actor = _EngineActor(self._engine, self._engine.has_work)
         server = self
 
         class Handler(_JSONHandler):

@@ -162,15 +162,23 @@ class StreamingEngine:
             )
             repl = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, repl)
-            # cache leaves: flat pos-major (C, B*N, D) shard dim 1 (rows
-            # are b-major, chunks align with stream boundaries); (B,) lens
-            # shard dim 0 — same rule as the dryrun's sharded serving
-            self._cache = jax.tree.map(
-                lambda x: jax.device_put(
-                    x, NamedSharding(mesh, P(*(
-                        [None, mesh_axis] + [None] * (x.ndim - 2))))
-                ) if x.ndim >= 2
-                else jax.device_put(x, NamedSharding(mesh, P(mesh_axis))),
+            # cache leaves, keyed by name because the stream-row axis
+            # moves: flat pos-major k/v are (C, B*N, D) — rows at dim 1
+            # (b-major, chunks align with stream boundaries) — while the
+            # int8 k_scale/v_scale are (B*N, C) — rows at dim 0 (a bare
+            # ndim rule would shard the scales' CAPACITY dim and buy an
+            # all-gather per tick); (B,) lens shard dim 0
+            def _spec(path, x):
+                name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+                if name.endswith("_scale"):
+                    return P(mesh_axis, *([None] * (x.ndim - 1)))
+                if x.ndim >= 2:
+                    return P(None, mesh_axis, *([None] * (x.ndim - 2)))
+                return P(mesh_axis)
+
+            self._cache = jax.tree_util.tree_map_with_path(
+                lambda path, x: jax.device_put(
+                    x, NamedSharding(mesh, _spec(path, x))),
                 self._cache,
             )
             self._stage = jax.device_put(
@@ -451,6 +459,33 @@ class StreamingEngine:
             if sid in self._pending:  # closed empty before ever admitted
                 self._pending.remove(sid)
         return feats, done
+
+    def has_work(self) -> bool:
+        """True iff tick() would actually feed a frame — the engine's own
+        admission rules, for actors/servers that must never spin on no-op
+        ticks (e.g. a stream opened but not yet fed). Kept here, next to
+        _grant_slots/tick, so scheduling changes stay in ONE place."""
+        if any(
+            sid is not None
+            and (self._wr[s] > self._rd[s] or self._queues.get(sid))
+            for s, sid in enumerate(self._slot_sid)
+        ):
+            return True
+        slot_free = any(
+            sid is None or sid not in self._queues
+            or (sid in self._closed and not self._queues[sid]
+                and self._wr[s] == self._rd[s])
+            for s, sid in enumerate(self._slot_sid)
+        )
+        if not slot_free:
+            return False
+        for h in self._pending:  # effective FIFO head decides admission
+            if h not in self._queues or (
+                h in self._closed and not self._queues[h]
+            ):
+                continue
+            return bool(self._queues[h])
+        return False
 
     def run_until_idle(self, max_ticks: int = 1_000_000) -> int:
         """Drive ticks until every stream drains; returns ticks run."""

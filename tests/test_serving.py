@@ -412,3 +412,21 @@ def test_engine_mesh_sharded_matches_unsharded(params):
     for i in clips:
         np.testing.assert_allclose(sharded[i], plain[i], atol=1e-6,
                                    err_msg=f"stream {i}")
+
+
+def test_engine_mesh_int8_scale_sharding(params):
+    """int8 KV scale leaves are (rows, capacity) — rows at dim 0, unlike
+    the (capacity, rows, D) k/v planes — and must shard their ROW axis
+    (regression r4: a bare ndim rule sharded the scales' capacity dim,
+    buying an all-gather per tick)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    cfg = CFG.replace(cache_dtype="int8")
+    eng = StreamingEngine(params, cfg, slots=4, mesh=mesh)
+    lay = eng._cache["layers"][0]
+    assert lay["k"].sharding.spec == P(None, "data", None), lay["k"].sharding
+    assert lay["k_scale"].sharding.spec == P("data", None), \
+        lay["k_scale"].sharding
+    assert eng._cache["len"].sharding.spec == P("data")
+    assert eng._stage.sharding.spec[0] == "data"

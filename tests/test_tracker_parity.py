@@ -252,3 +252,49 @@ def test_retirement_timeline_matches_reference(ref_tracker):
     assert set(mine.tracklets) == set(
         int(k) for k in ref.memory_bank.tracklets
     )
+
+
+def test_frame_weight_valid_mean_regime(ref_tracker):
+    """The reference scales BELOW-threshold candidates by the mean exist of
+    the VALID candidates only (exist_frames[valid_indices].mean(),
+    hungarian_tracker.py:296-299). A long-lived tracklet whose raw score is
+    below the match threshold must not outbid two short-lived valid ones —
+    an all-tracklet mean would hand it the match (regression r4)."""
+    import torch
+
+    from streamformer_tpu.downstream.segmentor import HungarianTracker
+
+    kw = dict(match_metric="cosine", match_score_thr=0.2,
+              init_score_thr=0.01, frame_weight=True, num_dead_frames=10,
+              embed_type="last", maximum_cache=10)
+    ref = ref_tracker.HungarianTracker(
+        num_classes=4, temporal_score_type="mean", inference_select_thr=0.01,
+        mask_nms_thr=0.6, **kw)
+    ref.reset()
+    mine = HungarianTracker(match_type="greedy", **kw)
+
+    eA = np.array([1, 0, 0, 0], np.float32)
+    eB = np.array([0, 1, 0, 0], np.float32)
+    eC = np.array([0, 0, 1, 0], np.float32)
+    # cosine vs the unit bank vectors = exactly (0.3, 0.25, 0.19):
+    # A and B valid (>0.2, exist 1 each), C below threshold but exist 5
+    probe = np.array([0.3, 0.25, 0.19,
+                      np.sqrt(1 - 0.3**2 - 0.25**2 - 0.19**2)], np.float32)
+
+    def step(emb, fid):
+        n = len(emb)
+        r = ref.track(
+            torch.full((n,), 0.9), torch.zeros((n, 5)),
+            torch.zeros((n, 2, 2)), torch.from_numpy(emb),
+            torch.zeros((n, 4)), fid,
+        )[0].tolist()
+        m = [i for i in mine.update(emb, np.full(n, 0.9, np.float32), fid)
+             if i >= 0]
+        assert m == r, (fid, m, r)
+        return m
+
+    step(np.stack([eA, eB, eC]), 0)          # tracks 0, 1, 2 born
+    for fid in range(1, 5):                   # only C seen: exist 5 vs 1,1
+        step(eC[None], fid)
+    ids = step(probe[None], 5)
+    assert ids == [0], ids  # highest VALID raw score wins, never C
