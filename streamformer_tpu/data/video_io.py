@@ -191,6 +191,8 @@ def resample_to_fps(
     num_frames_total: int, native_fps: float, target_fps: float = 24.0
 ) -> np.ndarray:
     """Index remap to a target fps (extract_oad_feature.py:112-118)."""
+    if num_frames_total <= 0:  # empty/corrupt video: no indices, no clamp
+        return np.zeros((0,), np.int64)
     duration = num_frames_total / max(native_fps, 1e-6)
     n_out = max(int(round(duration * target_fps)), 1)
     return np.linspace(0, num_frames_total - 1, n_out).astype(np.int64)

@@ -81,6 +81,11 @@ def multi_segment_proposal(
             j = i
             while j + 1 < n and above[j + 1]:
                 j += 1
+            # the constant score is REFERENCE-EXACT ("add fake score '1'
+            # for now", finetune_tools.py:210-211) — downstream consumers
+            # treat proposals as unranked; the fallback below deviates
+            # deliberately (prob.max() instead of the reference's stale
+            # loop-variable prob[idx])
             segs.append([float(timestamps[i]), float(timestamps[j]), 1.0])
             i = j + 1
         else:
@@ -163,10 +168,14 @@ def merge_multiview_logits(
 ) -> Dict[str, float]:
     """AR multi-view merge: softmax-average all views per video, then top-1/5
     (reference downstream/AR engine merge, engine_for_finetuning.py:246-296).
-    rows: (video_id, logits, label)."""
+    rows: (video_id, logits, label). ``num_classes`` validates the class
+    axis (the merge itself is shape-driven)."""
     by_vid: Dict[int, List[np.ndarray]] = {}
     lab: Dict[int, int] = {}
     for vid, logits, label in rows:
+        assert logits.shape[-1] == num_classes, (
+            f"logits have {logits.shape[-1]} classes, expected {num_classes}"
+        )
         x = np.exp(logits - logits.max())
         by_vid.setdefault(vid, []).append(x / x.sum())
         lab[vid] = label

@@ -164,7 +164,13 @@ def evaluate_multitask(
     results: Dict[str, Dict[str, float]] = {}
     for ds in eval_union.datasets:
         task = getattr(ds, "task_name", type(ds).__name__)
-        kind = head_type_for_task(task)
+        try:
+            kind = head_type_for_task(task)
+        except NotImplementedError:
+            # unknown task (e.g. a dataset without task_name falling back
+            # to its class name): skip it like the unsupported kinds below
+            # instead of aborting the whole mid-training eval
+            continue
 
         def batches():
             n = len(ds)

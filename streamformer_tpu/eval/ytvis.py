@@ -144,6 +144,7 @@ def evaluate_ytvis(
     for cat in cats:
         # per (video) matching
         scores, tps = [], []  # tps: (n_thr,) bool rows
+        ignores = []  # (n_thr,) bool rows: det matched only a crowd gt
         match_ranks = [[] for _ in range(n_thr)]  # in-video det rank per match
         n_gt = 0
         videos = sorted(
@@ -171,6 +172,7 @@ def evaluate_ytvis(
             matched = np.zeros((n_thr, len(gts)), bool)
             for di, d in enumerate(dts):
                 row = np.zeros(n_thr, bool)
+                ign = np.zeros(n_thr, bool)
                 for ti, thr in enumerate(iou_thrs):
                     best, best_iou = -1, thr
                     for gi in range(len(gts)):
@@ -182,8 +184,19 @@ def evaluate_ytvis(
                         matched[ti, best] = True
                         row[ti] = True
                         match_ranks[ti].append(di)
+                    else:
+                        # COCO ignore semantics (ytvoseval: crowd gts carry
+                        # gt['ignore'], are matchable by many dets, and a
+                        # det matched only to one is excluded from BOTH tp
+                        # and fp): a leftover det overlapping a crowd
+                        # region must not count as a false positive
+                        ign[ti] = any(
+                            gts[gi].get("iscrowd") and ious[di, gi] >= thr
+                            for gi in range(len(gts))
+                        )
                 scores.append(d["score"])
                 tps.append(row)
+                ignores.append(ign)
         if n_gt == 0:
             continue
         if not scores:
@@ -196,7 +209,8 @@ def evaluate_ytvis(
             continue
         order = np.argsort(-np.asarray(scores), kind="mergesort")
         tp = np.stack(tps, axis=1)[:, order]  # (n_thr, n_det)
-        fp = ~tp
+        ig = np.stack(ignores, axis=1)[:, order]
+        fp = ~tp & ~ig  # crowd-ignored dets count as neither tp nor fp
         tp_c = np.cumsum(tp, axis=1)
         fp_c = np.cumsum(fp, axis=1)
         recall = tp_c / n_gt

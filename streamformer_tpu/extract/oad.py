@@ -10,18 +10,24 @@ Two modes:
 * ``windowed`` — reference-faithful: slide a ``window_size``-frame window
   with ``stride`` and take the last-frame pooled feature per window
   (extract_oad_feature.py:34-35,122-133). Cost: O(L * window) encodes.
+  Yields ~L/stride rows — one per WINDOW, the reference's temporal rate.
 * ``streaming`` (default) — TPU-native improvement: one causal pass with the
   temporal KV cache; every frame's pooled feature falls out of a single
   chunked encode. A fixed-capacity cache bounds the attention context to the
   last ``capacity`` frames, which *contains* the reference's 6-frame window
   context, so features are at least as informed at O(L) encodes.
+  Yields L rows — one per FRAME.
+
+The two modes therefore differ in temporal resolution (L vs ~L/stride
+rows): pick ONE per feature store — an OAD data layer calibrated to
+per-frame targets cannot mix files from both modes.
 """
 
 from __future__ import annotations
 
 import os
 import threading
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -71,9 +77,7 @@ def extract_features_streaming(
     n_chunks = pixel_values.shape[0] // chunk
     cache = encoder.init_cache(cfg, batch=1, capacity=capacity)
 
-    step = jax.jit(
-        partial(encoder.streaming_forward, cfg=cfg), donate_argnums=(2,)
-    )
+    step = _streaming_step(cfg)
     feats = []
     for i in range(n_chunks):
         clip = pixel_values[i * chunk : (i + 1) * chunk][None]  # (1, chunk, C, H, W)
@@ -83,6 +87,23 @@ def extract_features_streaming(
     return out[:l]
 
 
+@lru_cache(maxsize=None)
+def _streaming_step(cfg: StreamformerConfig):
+    """jit wrappers are memoized per config: a fresh wrapper per call has
+    its own trace cache, so every extract_* call would otherwise retrace
+    (and re-XLA-compile) the full encoder."""
+    return jax.jit(
+        partial(encoder.streaming_forward, cfg=cfg), donate_argnums=(2,)
+    )
+
+
+@lru_cache(maxsize=None)
+def _windowed_fwd(cfg: StreamformerConfig):
+    return jax.jit(
+        lambda p, x: encoder.model_forward(p, x, cfg)["pooler_output"])
+
+
+@lru_cache(maxsize=None)
 def _make_batched_step(cfg: StreamformerConfig):
     """One compiled tick: re-admit freed slots, then advance every stream
     one frame. Params are an argument (not a closure) so they are not baked
@@ -145,7 +166,10 @@ def extract_features_batched(
     # --- host-side schedule: (admit mask, [(slot, video, frame)]) per tick
     slot_vid = [-1] * slots
     slot_f = [0] * slots
-    pending = list(range(len(clips)))[::-1]  # pop() = FIFO admission
+    # zero-length clips never take a slot (their (0, D) output needs no
+    # ticks; admitting one would never satisfy the frame==len retire
+    # check and the schedule loop would spin forever)
+    pending = [v for v in range(len(clips)) if lens[v] > 0][::-1]
     ticks = []
     while pending or any(v >= 0 for v in slot_vid):
         admit = np.zeros(slots, bool)
@@ -279,20 +303,19 @@ def extract_features_windowed(
     (extract_oad_feature.py:34-35,122-133): encode each window, keep the
     last-frame pooled feature."""
     l = pixel_values.shape[0]
+    w = min(window_size, l)
     starts = list(range(0, max(l - window_size, 0) + 1, stride)) or [0]
-    windows = []
-    for s in starts:
-        win = pixel_values[s : s + window_size]
-        if win.shape[0] < window_size:
-            win = jnp.concatenate(
-                [win, jnp.zeros((window_size - win.shape[0],) + win.shape[1:],
-                                win.dtype)]
-            )
-        windows.append(win)
+    # overhanging/short windows slide BACK onto real frames — the
+    # reference never pads (frame_q = data[len-6:] when start+6 > len,
+    # extract_oad_feature.py:124-127), so position -1 is always a real
+    # frame; zero-padding here returned the pad frame's feature for
+    # short videos (regression r4)
+    windows = [pixel_values[min(s, l - w): min(s, l - w) + w]
+               for s in starts]
     batch = jnp.stack(windows).astype(jnp.dtype(cfg.dtype))
 
-    fwd = jax.jit(lambda p, x: encoder.model_forward(p, x, cfg)["pooler_output"])
-    feats = np.asarray(fwd(params, batch), np.float32)  # (W, window, D)
+    fwd = _windowed_fwd(cfg)
+    feats = np.asarray(fwd(params, batch), np.float32)  # (W, w, D)
     return feats[:, -1]  # last frame summarizes (causal)
 
 

@@ -448,8 +448,13 @@ class DecodeEngine:
                 self._done.add(self._slot_sid[s])
                 self._slot_sid[s] = None
         admitted = self._admit()
+        # exclude capacity-full slots (a prompt of length == capacity is
+        # admitted full: its prefill token is its only output) — decoding
+        # one would clamp the append onto the last valid KV row, corrupting
+        # it; the guard above retires the slot next tick
         active_slots = [s for s in range(self.slots)
-                        if self._slot_sid[s] is not None]
+                        if self._slot_sid[s] is not None
+                        and self._host_len[s] < self.capacity]
         if not active_slots:
             return admitted > 0  # prefill-only tick still made progress
         occupancy = tuple(self._slot_sid)

@@ -272,3 +272,33 @@ def test_render_video_tracks_threshold_and_save(tmp_path):
     out = visualize.save_rendered(rendered, str(tmp_path / "viz"))
     import os
     assert sorted(os.listdir(out)) == ["00000.png", "00001.png"]
+
+
+def test_ytvis_crowd_gt_ignores_overlapping_det():
+    """COCO ignore semantics (reference ytvoseval: gt['ignore']=iscrowd): a
+    detection whose only overlap is a crowd region counts as NEITHER tp nor
+    fp, and crowd gts are excluded from n_gt — AP stays 1.0 (regression r4:
+    the det was counted as a false positive, depressing precision)."""
+    from streamformer_tpu.eval import ytvis
+
+    g_real = _box_mask(8, 12, 0, 6)
+    g_crowd = _box_mask(8, 12, 6, 12)
+    gts = [
+        _track(1, 1, [g_real] * 2, tid=1),
+        {**_track(1, 1, [g_crowd] * 2, tid=2), "iscrowd": 1},
+    ]
+    # the crowd-overlapping det outranks the true positive, so if it were
+    # counted as a false positive it would depress precision at recall 1
+    results = [
+        {"video_id": 1, "category_id": 1, "score": 0.95,
+         "segmentations": [ytvis.mask_to_rle(g_crowd)] * 2},
+        {"video_id": 1, "category_id": 1, "score": 0.9,
+         "segmentations": [ytvis.mask_to_rle(g_real)] * 2},
+    ]
+    r = ytvis.evaluate_ytvis(results, gts)
+    assert r["AP"] == 1.0, r
+
+    # control: drop the crowd gt — the same top-ranked det is now a plain
+    # false positive and AP must fall
+    r2 = ytvis.evaluate_ytvis(results, [gts[0]])
+    assert r2["AP"] < 1.0, r2

@@ -536,3 +536,32 @@ def test_engine_mesh_sharded_matches_unsharded(lm):
         return out
 
     assert run(mesh) == run(None)
+
+
+def test_prompt_exactly_capacity(lm):
+    """A prompt of length == capacity is legal (the prefill produces its
+    one token) but must NOT decode: the append would clamp onto the last
+    valid KV row, corrupting it (regression r4). Output == the first
+    greedy token; a neighbour stream is unharmed."""
+    cfg, params = lm
+    rng = np.random.default_rng(21)
+    cap = 12
+    full = rng.integers(0, cfg.vocab_size, size=(cap,))
+    small = rng.integers(0, cfg.vocab_size, size=(3,))
+
+    ref_full = [int(t) for t in LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, full)[None]),
+        max_new_tokens=1, capacity=cap + 4)[0]][:1]
+    ref_small = [int(t) for t in LM.greedy_generate(
+        params, cfg, jnp.asarray(_emb(params, small)[None]),
+        max_new_tokens=4, capacity=cap)[0]]
+
+    eng = DecodeEngine(params, cfg, slots=2, capacity=cap,
+                       max_new_tokens=4, prefill_buckets=(4,))
+    s_full = eng.open(_emb(params, full))
+    s_small = eng.open(_emb(params, small))
+    eng.run_until_idle()
+    toks_full, done_full = eng.poll(s_full)
+    toks_small, done_small = eng.poll(s_small)
+    assert done_full and toks_full == ref_full, (toks_full, ref_full)
+    assert done_small and toks_small == ref_small, (toks_small, ref_small)

@@ -411,3 +411,44 @@ def test_ragged_int8_full_path_kernel_matches_einsum(monkeypatch):
             np.asarray(got), np.asarray(want), rtol=0, atol=2e-5,
             err_msg=f"step {s}",
         )
+
+
+def test_batched_extraction_zero_length_clip():
+    """A zero-length clip returns (0, D) and must not take a slot — the
+    schedule's frame==len retire check can never fire for it, so admitting
+    one used to spin the host scheduler forever (regression r4)."""
+    from streamformer_tpu.extract import oad
+
+    cfg = small_cfg(cache_capacity=16)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    clips = [
+        jnp.asarray(rng.standard_normal((3, 3, 32, 32)), jnp.float32),
+        jnp.zeros((0, 3, 32, 32), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32),
+    ]
+    feats = oad.extract_features_batched(params, cfg, clips, slots=2)
+    assert [f.shape[0] for f in feats] == [3, 0, 2]
+    ref = oad.extract_features_batched(params, cfg,
+                                       [clips[0], clips[2]], slots=2)
+    np.testing.assert_allclose(feats[0], ref[0], atol=1e-6)
+    np.testing.assert_allclose(feats[2], ref[1], atol=1e-6)
+
+
+def test_windowed_short_video_uses_real_frames():
+    """Videos shorter than the window slide BACK onto real frames like the
+    reference (extract_oad_feature.py:124-127) — the zero-pad version
+    returned the padding frame's feature (regression r4)."""
+    from streamformer_tpu.extract import oad
+
+    cfg = small_cfg(cache_capacity=16)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    px = jnp.asarray(rng.standard_normal((3, 3, 32, 32)), jnp.float32)
+
+    feats = oad.extract_features_windowed(params, cfg, px, window_size=6,
+                                          stride=4)
+    assert feats.shape == (1, cfg.hidden_size)
+    full = encoder.model_forward(params, px[None], cfg)["pooler_output"]
+    np.testing.assert_allclose(
+        feats[0], np.asarray(full[0, -1], np.float32), atol=1e-5)
