@@ -127,6 +127,12 @@ class MultitaskLoader:
         self._epoch = epoch
         self._start_step = start_step
         self.sampler.set_epoch(epoch)
+        # datasets with per-sample stochastic state (e.g. VIS negative
+        # sampling) re-seed per (epoch, index) so draws vary across epochs
+        # yet stay resume-reproducible
+        for ds in getattr(self.dataset, "datasets", []):
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
 
     def __len__(self):
         return len(self.sampler)
@@ -299,11 +305,18 @@ class MultitaskLoader:
         # all jit/device dispatch stays on the consumer thread
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        err: list = []
 
         def worker():
             try:
                 for item in host_gen():
                     q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # propagate to the consumer: a swallowed loader error would
+                # silently TRUNCATE the epoch (clean sentinel, normal
+                # end-of-epoch, checkpoint saved on partial data) — the
+                # prefetch<=0 path raises, so this path must too
+                err.append(e)
             finally:
                 q.put(sentinel)
 
@@ -312,6 +325,8 @@ class MultitaskLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise err[0]
                 break
             step, (task, frames, tis) = item
             yield self._finalize(task, frames, tis, step)

@@ -60,6 +60,18 @@ def _host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
     )
 
 
+def _map_label(label2id: Optional[Dict], raw) -> np.int64:
+    """Remap an annotation label through label2id like the reference
+    (`label_list = [self.label2id[label] ...]`, kinetics_sparse.py:194-195).
+    Without the remap, non-contiguous raw labels (e.g. {3, 7, 42}) index
+    past the head's class table and XLA silently drops the one-hot
+    scatter — all-negative targets, no error."""
+    if not label2id:
+        return np.int64(raw)
+    key = str(raw)
+    return np.int64(label2id[key] if key in label2id else label2id[raw])
+
+
 class VideoClsSparseDataset(_RetryDataset):
     """TSN sparse-sampled classification (reference VideoClsDataset_sparse,
     kinetics_sparse.py:39-535). task_name: Kinetics / SSV2."""
@@ -121,7 +133,8 @@ class VideoClsSparseDataset(_RetryDataset):
             "task_name": self.task_name,
             "task_input": {
                 "frames": frames,  # (T, H, W, C) uint8
-                "label": np.int64(self.labels[vid_idx]),
+                "label": _map_label(getattr(self, "label2id", None),
+                                    self.labels[vid_idx]),
             },
         }
         if self.mode == "test":
@@ -166,7 +179,8 @@ class VideoClsDenseDataset(VideoClsSparseDataset):
             "task_name": self.task_name,
             "task_input": {
                 "frames": frames,
-                "label": np.int64(self.labels[vid_idx]),
+                "label": _map_label(getattr(self, "label2id", None),
+                                    self.labels[vid_idx]),
             },
         }
         if self.mode == "test":
@@ -550,6 +564,7 @@ class RawFrameClsDataset(_RetryDataset):
             "task_name": self.task_name,
             "task_input": {
                 "frames": frames,
-                "label": np.int64(self.labels[vid_idx]),
+                "label": _map_label(getattr(self, "label2id", None),
+                                    self.labels[vid_idx]),
             },
         }

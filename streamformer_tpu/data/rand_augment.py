@@ -149,8 +149,6 @@ def rand_augment(
     cfg = parse_config(config_str)
     ops = ops or RAND_TRANSFORMS
     x = clip.astype(jnp.float32) if clip.dtype != jnp.float32 else clip
-    if clip.dtype == jnp.uint8:
-        x = clip.astype(jnp.float32)
 
     hparams = {"inc": cfg["inc"]}
     branches = [

@@ -85,6 +85,7 @@ class DistributedBatchTaskUniqueSampler:
         rank: int = 0,
         shuffle: bool = True,
         fake_batch_tasks: Sequence[str] = FAKE_BATCH_TASKS,
+        seed: int = 0,
     ):
         self.specs = {s.name: s for s in specs}
         self.batch_size = batch_size
@@ -93,14 +94,24 @@ class DistributedBatchTaskUniqueSampler:
         self.shuffle = shuffle
         self.fake_batch_tasks = set(fake_batch_tasks)
         self.epoch = 0
+        # the default seed=0 reproduces the reference exactly (it seeds
+        # with the epoch ALONE, sampler.py:87-88 — every --seed sees the
+        # same data order); pass the run seed to decorrelate schedules
+        # across multi-seed experiments
+        self.seed = seed
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def _rng(self) -> np.random.Generator:
+        return np.random.default_rng(
+            self.epoch if self.seed == 0 else (self.seed, self.epoch)
+        )
+
     def _schedule(self) -> List[List[int]]:
         """Global schedule, identical on every rank; entries are per-rank
         batches for `self.rank`."""
-        g = np.random.default_rng(self.epoch)
+        g = self._rng()
         perms: Dict[str, np.ndarray] = {}
         for name, s in self.specs.items():
             idx = np.arange(s.offset, s.offset + s.length)
@@ -155,7 +166,7 @@ class DistributedBatchTaskSequentialSampler(DistributedBatchTaskUniqueSampler):
     """Tasks consumed in fixed declaration order (reference sampler.py:56-176)."""
 
     def _schedule(self) -> List[List[int]]:
-        g = np.random.default_rng(self.epoch)
+        g = self._rng()
         batches: List[List[int]] = []
         for name, s in self.specs.items():
             idx = np.arange(s.offset, s.offset + s.length)
@@ -185,7 +196,7 @@ class DistributedBatchTaskBalancedSampler(DistributedBatchTaskUniqueSampler):
         self.update_freq = update_freq
 
     def _schedule(self) -> List[List[int]]:
-        g = np.random.default_rng(self.epoch)
+        g = self._rng()
         per_task: Dict[str, List[List[int]]] = {}
         for name, s in self.specs.items():
             idx = np.arange(s.offset, s.offset + s.length)

@@ -78,9 +78,26 @@ def random_rotation_clip(
 def _resize_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
     import cv2
 
+    # uint16, not uint8: mask values are CATEGORY IDS and open-vocabulary
+    # datasets (LVVIS: 1196 classes) exceed 255
     return cv2.resize(
-        mask.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        mask.astype(np.uint16), (w, h), interpolation=cv2.INTER_NEAREST
     )
+
+
+def _masks_like_frames(masks, fh: int, fw: int, i0: int, j0: int,
+                       crop: int, mh: int, mw: int) -> np.ndarray:
+    """Run masks through the EXACT frame geometry — short-side resize
+    (nearest) to the frames' post-resize shape, the same center crop, then
+    the head's mask_size. Resizing the original full frame straight to
+    mask_size squashes the aspect ratio and keeps the cropped-away margins,
+    so every pixel's mask label came from a different image location than
+    its RGB (silent spatial misalignment on all non-square videos)."""
+    out = []
+    for m in masks:
+        m = _resize_mask(m, fh, fw)[i0: i0 + crop, j0: j0 + crop]
+        out.append(_resize_mask(m, mh, mw))
+    return np.stack(out).astype(np.int64)
 
 
 def sample_negatives_and_remap(
@@ -154,6 +171,16 @@ class VISDataset(_RetryDataset):
         self.ids = sorted(self.videos)
         self.categories = {c["id"]: c["name"] for c in data.get("categories", [])}
         self.num_classes = (max(self.categories) + 1) if self.categories else 1
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-seed per-sample negative draws: (epoch, index)-keyed, so the
+        head sees VARIED negatives across epochs (the reference redraws
+        every step, modeling_timesformer_siglip.py:1844-1882) while any
+        (epoch, index) pair replays identically on resume. A fixed
+        Random(0) per call contrasted each video against one frozen
+        negative subset forever (regression r4)."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.ids)
@@ -204,10 +231,12 @@ class VISDataset(_RetryDataset):
         j0 = max((fw - self.crop_size) // 2, 0)
         frames = frames[:, i0 : i0 + self.crop_size, j0 : j0 + self.crop_size]
         mh, mw = self.mask_size
-        mask = np.stack([_resize_mask(m, mh, mw) for m in mask]).astype(np.int64)
+        mask = _masks_like_frames(mask, fh, fw, i0, j0, self.crop_size,
+                                  mh, mw)
 
         selected, remapped = sample_negatives_and_remap(
-            mask, self.num_classes, self.max_classes
+            mask, self.num_classes, self.max_classes,
+            rng=random.Random((self._epoch << 32) | (index & 0xFFFFFFFF)),
         )
         return {
             "task_name": self.task_name,
@@ -270,7 +299,8 @@ class ReferVOSDataset(_RetryDataset):
         j0 = max((fw - self.crop_size) // 2, 0)
         frames = frames[:, i0 : i0 + self.crop_size, j0 : j0 + self.crop_size]
         mh, mw = self.mask_size
-        masks = np.stack([_resize_mask(m, mh, mw) for m in masks]).astype(np.int64)
+        masks = _masks_like_frames(masks, fh, fw, i0, j0, self.crop_size,
+                                   mh, mw)
         return {
             "task_name": self.task_name,
             "task_input": {

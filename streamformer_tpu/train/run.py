@@ -176,6 +176,7 @@ def main():
         batch_size=args.batch_size * local_dp,
         num_replicas=jax.process_count(),
         rank=jax.process_index(),
+        seed=args.seed,
     )
     steps_per_epoch = max(len(sampler) // args.update_freq, 1)
     lr_sched = optim.cosine_lr_schedule(

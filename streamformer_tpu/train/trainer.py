@@ -96,17 +96,30 @@ class MultitaskTrainer:
 
     def shard_batch(self, batch):
         """Place a host/global batch on the mesh: leaves whose leading dim is
-        the global batch size go over ``data``, everything else (label
-        tables, scalars) replicated. No-op without a mesh."""
+        the batch size go over ``data``, everything else (label tables,
+        scalars) replicated. No-op without a mesh.
+
+        Under multi-host (--distributed) each process loads only its
+        rank-strided SLICE of the batch (run.py sampler), so batch-dim
+        leaves assemble through ``jax.make_array_from_process_local_data``
+        — a bare device_put with the global sharding would treat every
+        process's local rows as the whole global array and scatter
+        inconsistent halves across the mesh."""
         if self.mesh is None:
             return batch
         gb = batch["pixel_values"].shape[0]
+        multi = jax.process_count() > 1
 
         def place(x):
             if not hasattr(x, "ndim") or x.ndim == 0:
                 return x
-            ns = self._batch_ns if x.shape[0] == gb else self._repl_ns
-            return jax.device_put(x, ns)
+            if x.shape[0] == gb:
+                if multi:
+                    return jax.make_array_from_process_local_data(
+                        self._batch_ns, np.asarray(x)
+                    )
+                return jax.device_put(x, self._batch_ns)
+            return jax.device_put(x, self._repl_ns)
 
         return jax.tree.map(place, batch)
 
@@ -209,6 +222,16 @@ class MultitaskTrainer:
         print_freq steps later).
         """
         logger = metrics_lib.MetricLogger()
+        # discard any leftover accumulation from a previous epoch whose
+        # batch count was not a multiple of update_freq — the reference
+        # zero_grads at epoch start (finetune_tools.py:391-394), and an
+        # epoch-boundary checkpoint restores with an EMPTY buffer, so
+        # zeroing here keeps resumed == uninterrupted bit-identical
+        if int(state.accum_count) != 0:
+            state = state.replace(
+                grad_accum=jax.tree.map(jnp.zeros_like, state.grad_accum),
+                accum_count=jnp.zeros((), jnp.int32),
+            )
         micro = start_micro
         for _ in range(start_micro):  # replay the per-step rng stream
             rng, _ = jax.random.split(rng)

@@ -430,3 +430,67 @@ def test_loader_start_step_skips_without_decoding(data_root):
     for (t_f, px_f), (t_t, px_t) in zip(full_p[1:], tail_p):
         assert t_f == t_t
         np.testing.assert_array_equal(px_f, px_t)
+
+
+def test_label2id_remaps_noncontiguous_labels(tmp_path):
+    """Classification labels pass through label2id like the reference
+    (kinetics_sparse.py:194-195) — raw labels {3, 42} must come out as the
+    mapped contiguous ids, not index past the head's class table
+    (regression r4: raw labels were returned unmapped, and XLA silently
+    drops the out-of-bounds one-hot scatter)."""
+    from streamformer_tpu.data.datasets import VideoClsSparseDataset
+
+    v = str(tmp_path / "v.avi")
+    _write_video(v, n=8)
+    anno = str(tmp_path / "a.csv")
+    with open(anno, "w") as f:
+        f.write(f"{v} 42\n{v} 3\n")
+    ds = VideoClsSparseDataset(anno, clip_len=4, short_side_size=48,
+                               label2id={"3": 0, "42": 1})
+    assert int(ds[0]["task_input"]["label"]) == 1
+    assert int(ds[1]["task_input"]["label"]) == 0
+    # without a mapping the raw label passes through (small local runs)
+    ds2 = VideoClsSparseDataset(anno, clip_len=4, short_side_size=48)
+    assert int(ds2[0]["task_input"]["label"]) == 42
+
+
+def test_prefetch_propagates_loader_errors(tmp_path):
+    """A loader error on the prefetch thread must fail the epoch, not
+    silently truncate it (regression r4: the worker swallowed the
+    exception, the consumer saw a clean end-of-epoch, and a checkpoint
+    landed on partial data)."""
+    from streamformer_tpu.data.collate import MultitaskLoader
+    from streamformer_tpu.data.samplers import (
+        DistributedBatchTaskUniqueSampler, task_specs_from_lengths)
+
+    class Broken:
+        task_name = "Kinetics"
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("retries exhausted: decode failed")
+
+    class Union:
+        datasets = [Broken()]
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return self.datasets[0][i]
+
+        @property
+        def unified_dataset_lengths(self):
+            return [4]
+
+    sampler = DistributedBatchTaskUniqueSampler(
+        task_specs_from_lengths(["Kinetics"], [4]), batch_size=2)
+    # model=None: the batch raises before collate ever touches it
+    loader = MultitaskLoader(Union(), sampler, None, crop_size=32,
+                             num_workers=1, prefetch=2)
+    loader.set_epoch(0)
+    with pytest.raises(RuntimeError, match="retries exhausted"):
+        for _ in loader:
+            pass

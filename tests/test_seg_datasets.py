@@ -107,3 +107,55 @@ def test_vis_dataset(ytvis_root):
     # instance of class 2 remapped (vocab <= 100: identity mapping)
     assert (ti["mask_target"] == 2).any()
     assert (ti["mask_target"] == -1).any()  # background ignored
+
+
+def test_mask_geometry_follows_frames(ytvis_root):
+    """Masks must go through the SAME short-side-resize + center-crop as
+    the frames (regression r4: masks were aspect-squashed from the full
+    original frame, spatially misaligned with the pixels on every
+    non-square video)."""
+    anno, prefix = ytvis_root  # 48x64 frames: crop discards side columns
+    ds = S.VISDataset(anno, prefix=prefix, num_frames=4, crop_size=32,
+                      mask_size=(32, 32))
+    m = ds[0]["task_input"]["mask_target"][0]
+    ys, xs = np.nonzero(m == 2)
+    # frame geometry: scale 32/48, then center-crop removes ~5 left cols ->
+    # the box (orig x in [10,30]) starts near column 1-2; the old
+    # aspect-squash (x * 32/64) started at column 5
+    assert xs.min() <= 3, xs.min()
+    # and the box ends near column 15 either way, sanity-check extent
+    assert 12 <= xs.max() <= 17, xs.max()
+    assert 5 <= ys.min() <= 8 and 18 <= ys.max() <= 22
+
+
+def test_vis_negative_draws_vary_by_epoch(tmp_path, rng):
+    """set_epoch must re-seed the per-sample negative-class draws —
+    a fixed Random(0) froze one negative subset per video forever
+    (regression r4); the same (epoch, index) pair stays reproducible."""
+    import cv2, json
+
+    frames_dir = tmp_path / "fr"
+    (frames_dir / "v0").mkdir(parents=True)
+    names = []
+    for i in range(2):
+        p = f"v0/{i:05d}.jpg"
+        cv2.imwrite(str(frames_dir / p),
+                    rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        names.append(p)
+    anno = {
+        "videos": [{"id": 1, "file_names": names, "height": 32, "width": 32}],
+        "annotations": [{"video_id": 1, "category_id": 2,
+                         "segmentations": [[[4, 4, 20, 4, 20, 20, 4, 20]]] * 2}],
+        "categories": [{"id": i, "name": str(i)} for i in range(1, 151)],
+    }
+    ap = tmp_path / "a.json"
+    ap.write_text(json.dumps(anno))
+    ds = S.VISDataset(str(ap), prefix=str(frames_dir), num_frames=2,
+                      crop_size=32, mask_size=(32, 32), max_classes=100)
+    assert ds.num_classes > 100  # negative sampling actually triggers
+    sel0 = ds[0]["task_input"]["selected_classes"]
+    sel0_again = ds[0]["task_input"]["selected_classes"]
+    np.testing.assert_array_equal(sel0, sel0_again)  # reproducible
+    ds.set_epoch(1)
+    sel1 = ds[0]["task_input"]["selected_classes"]
+    assert (sel0 != sel1).any()  # varied across epochs
