@@ -70,25 +70,36 @@ def _loader(ds, batch_size, aug, rng_seed, train, num_workers):
         np.random.default_rng(rng_seed).shuffle(idx)
     from concurrent.futures import ThreadPoolExecutor
 
-    for b0 in range(0, len(idx) - (batch_size - 1 if train else 0), batch_size):
-        chunk = idx[b0 : b0 + batch_size]
-        with ThreadPoolExecutor(max(num_workers, 1)) as ex:
-            samples = list(ex.map(ds.__getitem__, chunk))
-        frames = np.stack([s["task_input"]["frames"] for s in samples])
-        labels = np.asarray(
-            [int(s["task_input"]["label"]) for s in samples], np.int32
-        )
-        if train:
-            px = aug(jax.random.fold_in(jax.random.PRNGKey(rng_seed), b0),
-                     jnp.asarray(frames))
-        else:
-            px = aug(jnp.asarray(frames))
-        extras = None
-        if "sample_idx" in samples[0]["task_input"]:
-            extras = np.asarray(
-                [s["task_input"]["sample_idx"] for s in samples]
+    stop = len(idx) - (batch_size - 1 if train else 0)
+    starts = list(range(0, stop, batch_size))
+    # one pool for the whole epoch (per-batch pools churn OS threads) and
+    # one-batch-ahead prefetch: batch N+1 decodes while the caller runs the
+    # device step for batch N
+    with ThreadPoolExecutor(max(num_workers, 1)) as ex:
+        def submit(b0):
+            return [ex.submit(ds.__getitem__, j)
+                    for j in idx[b0 : b0 + batch_size]]
+
+        futs = submit(starts[0]) if starts else []
+        for i, b0 in enumerate(starts):
+            samples = [f.result() for f in futs]
+            if i + 1 < len(starts):
+                futs = submit(starts[i + 1])
+            frames = np.stack([s["task_input"]["frames"] for s in samples])
+            labels = np.asarray(
+                [int(s["task_input"]["label"]) for s in samples], np.int32
             )
-        yield px, jnp.asarray(labels), extras
+            if train:
+                px = aug(jax.random.fold_in(jax.random.PRNGKey(rng_seed), b0),
+                         jnp.asarray(frames))
+            else:
+                px = aug(jnp.asarray(frames))
+            extras = None
+            if "sample_idx" in samples[0]["task_input"]:
+                extras = np.asarray(
+                    [s["task_input"]["sample_idx"] for s in samples]
+                )
+            yield px, jnp.asarray(labels), extras
 
 
 def main():

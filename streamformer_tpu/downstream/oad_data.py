@@ -82,12 +82,16 @@ class PerFrameDataset:
         long_feat[valid] = vis[long_idx[valid]]
         feats = np.concatenate([long_feat, work], axis=0)
         if flow is not None:
+            # visual-first columns — LSTRStream.step and _fuse_features both
+            # slice [..., :visual_size] as the visual stream, so the dataset
+            # must put flow AFTER visual or streaming inference sees
+            # transposed feature columns
             fw = flow[end - lw : end]
             fl = np.zeros((ln, flow.shape[1]), np.float32)
             fl[valid] = flow[long_idx[valid]]
             feats = np.concatenate(
-                [np.concatenate([fl, fw], 0), feats], axis=-1
-            )[:, : flow.shape[1] + vis.shape[1]]
+                [feats, np.concatenate([fl, fw], 0)], axis=-1
+            )
         return {
             "features": feats.astype(np.float32),  # (ln + lw, D)
             "memory_mask": valid,  # (ln,)
@@ -96,7 +100,13 @@ class PerFrameDataset:
 
     def batches(self, batch_size: int, rng: np.random.Generator) -> Iterator[Dict]:
         order = rng.permutation(len(self)) if self.mode == "train" else np.arange(len(self))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
+        # train drops the remainder (reference drop_last); eval must score
+        # EVERY window — a dropped partial batch silently truncates mAP/mcAP
+        stop = (
+            len(order) - len(order) % batch_size
+            if self.mode == "train" else len(order)
+        )
+        for i in range(0, stop, batch_size):
             items = [self[j] for j in order[i : i + batch_size]]
             yield {
                 k: np.stack([it[k] for it in items]) for k in items[0]

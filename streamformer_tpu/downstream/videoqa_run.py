@@ -24,7 +24,6 @@ the continuous-batching DecodeEngine rather than lockstep generate):
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import math
 import os
@@ -102,10 +101,9 @@ class _HashTok:
         self.eos_token_id = 2
 
     def encode(self, text):
-        return [
-            3 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (self.vocab - 3)
-            for w in text.split()
-        ]
+        from streamformer_tpu.utils.hash_tok import hash_word_id
+
+        return [hash_word_id(w, self.vocab, reserved=3) for w in text.split()]
 
 
 def split_chunks(lst, n, k):

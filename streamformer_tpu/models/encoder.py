@@ -660,19 +660,9 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
     ragged = jnp.asarray(cache_len).ndim == 1  # per-stream (B,) lengths
     cap = cache["k"].shape[0]
 
-    use_kernel = (
-        _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
-    )
-    if use_kernel:
-        q_rows = q[:, 0].reshape(r, d)  # (B, N, H, dh) is contiguous
-        kn = k[:, 0].reshape(r, d)
-        vn = v[:, 0].reshape(r, d)
-        ctx, cache = _pm_kernel_dispatch(
-            q_rows, kn, vn, cache, cache_len, cfg, h,
-            rows_per_stream=n if ragged else None,
-        )
-        return ctx.reshape(b, 1, n, d), cache
-
+    # (kernel dispatch for t==1 causal decode lives in ``temporal_attention``
+    # — by construction this function is only reached when that condition
+    # failed, so no re-check here)
     if ragged:
         return _ragged_attend_einsum(
             q, k, v, cache, cache_len, cfg, causal, attend_cap
@@ -1074,7 +1064,10 @@ def temporal_attention(
     att_cap = cap
     if attend_cap is not None and attend_cap < cap:
         att_cap = attend_cap
-    if _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal:
+    if (
+        _use_pallas(cfg) and cfg.use_pallas_streaming and t == 1 and causal
+        and quantized
+    ):
         from streamformer_tpu.ops import attention as pops
 
         # int8 path: cache updated by the host graph, kernel fuses dequant

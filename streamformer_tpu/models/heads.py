@@ -87,8 +87,11 @@ def _f32(fn):
 
     return inner
 
-def _norm(x, axis=-1, eps=0.0):
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+def _norm(x, axis=-1, eps=1e-12):
+    # eps clamp matches torch F.normalize: an all-zero row (zero-padded
+    # caption, masked frame) must yield zeros, not NaN logits
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
 
 
 def _logits(sim, logit_scale, logit_bias):

@@ -21,6 +21,7 @@ this tree; parity vs ``transformers`` is tested in tests/test_language_model.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -358,19 +359,41 @@ def greedy_generate(
         axis=-1,
     ).astype(jnp.int32)
 
+    # Switch to per-row (ragged) lengths for the decode loop: a right-padded
+    # row's first generated token must land at position last_valid+1 (HF
+    # position_ids-from-mask semantics), not at the padded batch length —
+    # a scalar cache["len"] would give short rows a rotary-position gap.
+    # New tokens overwrite the garbage pad K/V slot-by-slot, and ``am``
+    # keeps the not-yet-overwritten pads excluded.
+    cache["len"] = (last_idx + 1).astype(jnp.int32)
+
+    step_fn = _greedy_step(cfg)
     toks = [np.asarray(tok)]
-    for step in range(1, max_new_tokens):
-        pos = cache["len"]
-        am = jax.lax.dynamic_update_slice(
-            am, jnp.ones((b, 1), jnp.int32), (0, pos)
-        )
-        emb = embed_tokens(params, tok)[:, None]
-        out, cache = forward(params, emb, cfg, attention_mask=am, cache=cache)
-        tok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+    for _ in range(1, max_new_tokens):
+        tok, am, cache = step_fn(params, tok, am, cache)
         toks.append(np.asarray(tok))
         if eos_token_id is not None and bool(np.all(toks[-1] == eos_token_id)):
             break
     return np.stack(toks, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy_step(cfg: LMConfig):
+    """One compiled greedy-decode step per config (shapes are static, so
+    every call after the first hits the jit cache — an eager per-token
+    forward would dispatch thousands of host-side ops per token)."""
+
+    @jax.jit
+    def step(params, tok, am, cache):
+        b = tok.shape[0]
+        pos = cache["len"]  # (B,) per-row write position
+        am = am.at[jnp.arange(b), pos].set(1)
+        emb = embed_tokens(params, tok)[:, None]
+        out, cache = forward(params, emb, cfg, attention_mask=am, cache=cache)
+        nxt = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+        return nxt, am, cache
+
+    return step
 
 
 # ---------------------------------------------------------------------------

@@ -84,14 +84,13 @@ class _HashTokenizer:
 
     def __call__(self, texts, padding="max_length", truncation=True,
                  max_length=64, return_tensors="np"):
-        import hashlib
+        from streamformer_tpu.utils.hash_tok import hash_word_id
 
         ids = np.ones((len(texts), max_length), np.int32)  # 1 = pad
         for r, t in enumerate(texts):
             words = t.lower().split()[: max_length - 1]
             for c, w in enumerate(words):
-                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-                ids[r, c] = 2 + h % (self.vocab_size - 2)
+                ids[r, c] = hash_word_id(w, self.vocab_size, reserved=2)
         return {"input_ids": ids}
 
 

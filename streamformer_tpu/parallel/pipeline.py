@@ -130,12 +130,23 @@ def pipelined_trunk(
     use_rng = rng is not None and not deterministic
     key = rng if use_rng else jax.random.PRNGKey(0)
 
-    def stage_apply(stage_tree, stage_rates, stage_idx, xmb):
-        """Apply this device's layers_per_stage layers with one scan."""
+    def stage_apply(stage_tree, stage_rates, stage_idx, xmb, mb_idx):
+        """Apply this device's layers_per_stage layers with one scan.
+
+        ``mb_idx`` (traced scalar) folds the microbatch into the RNG —
+        without it every microbatch draws the SAME dropout/drop-path mask
+        per layer (same key, same (B/M, ...) shape), correlating stochastic
+        regularization across the batch in a way the unpipelined
+        model_forward (one draw over the full B) never does."""
 
         def body(h, inp):
             lp, rate, idx = inp
-            lrng = jax.random.fold_in(key, 1000 + idx) if use_rng else None
+            lrng = (
+                jax.random.fold_in(
+                    jax.random.fold_in(key, 1000 + idx), mb_idx
+                )
+                if use_rng else None
+            )
             h = encoder.layer_forward(
                 lp,
                 h,
@@ -170,7 +181,10 @@ def pipelined_trunk(
                 mb, jnp.clip(t, 0, M - 1), 0, keepdims=False
             )
             h = jnp.where(s == 0, x_in, state)
-            y = stage_apply(stage_tree, stage_rates, stage_idx, h)
+            # stage s processes microbatch t - s at tick t (fill/drain ticks
+            # compute discarded work, so the clamp only affects dead lanes)
+            m = jnp.clip(t - s, 0, M - 1)
+            y = stage_apply(stage_tree, stage_rates, stage_idx, h, m)
             # last stage retires microbatch t-(S-1) once the pipe is full
             w = jnp.clip(t - (S - 1), 0, M - 1)
             out_upd = lax.dynamic_update_index_in_dim(out, y, w, 0)

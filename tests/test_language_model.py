@@ -150,6 +150,32 @@ def test_greedy_generate_deterministic(rng):
     np.testing.assert_array_equal(t1, np.stack(toks, axis=1))
 
 
+def test_greedy_generate_right_padded(rng):
+    """A right-padded batch must generate EXACTLY what each row generates
+    alone: the short row's first new token sits at position last_valid+1
+    (HF position_ids-from-mask semantics), with no rotary gap across the
+    pad span and no attention onto pad K/V."""
+    cfg = SMALL
+    params = LM.init_params(jax.random.PRNGKey(2), cfg)
+    lens = [3, 7]
+    l_pad = max(lens)
+    ids = rng.integers(1, cfg.vocab_size, (2, l_pad))
+    mask = np.zeros((2, l_pad), np.int32)
+    for r, ln in enumerate(lens):
+        mask[r, :ln] = 1
+        ids[r, ln:] = 0
+    emb = LM.embed_tokens(params, jnp.asarray(ids))
+    batched = LM.greedy_generate(
+        params, cfg, emb, max_new_tokens=6,
+        attention_mask=jnp.asarray(mask),
+    )
+    for r, ln in enumerate(lens):
+        solo = LM.greedy_generate(
+            params, cfg, emb[r : r + 1, :ln], max_new_tokens=6
+        )
+        np.testing.assert_array_equal(batched[r], solo[0])
+
+
 def test_lm_loss_ignore_index():
     logits = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 8)),
                          jnp.float32)

@@ -60,6 +60,52 @@ def test_perframe_dataset_windows(feature_root):
     assert s_late["memory_mask"].any()
 
 
+def test_flow_columns_visual_first(feature_root, tmp_path, rng):
+    """With a flow stream, dataset columns are [visual, flow] — the order
+    LSTRStream.step and _fuse_features slice ([..., :visual_size] is
+    visual). A flow-first layout would feed streaming inference transposed
+    columns."""
+    froot, troot, names = feature_root
+    flroot = tmp_path / "flow"
+    flroot.mkdir()
+    flows = {}
+    for name in names:
+        fl = rng.standard_normal((40, 6)).astype(np.float32)
+        np.save(flroot / f"{name}.npy", fl)
+        flows[name] = fl
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, motion_size=6)
+    ds = D.PerFrameDataset(
+        froot, troot, names, cfg, long_sample_rate=2, flow_root=str(flroot)
+    )
+    vi, end = ds.samples[10]
+    name = ds.videos[vi][0]
+    vis = ds.videos[vi][1]
+    s = ds[10]
+    lw = cfg.work_memory_num_samples
+    work = s["features"][-lw:]
+    np.testing.assert_array_equal(work[:, : cfg.visual_size],
+                                  vis[end - lw : end])
+    np.testing.assert_array_equal(work[:, cfg.visual_size :],
+                                  flows[name][end - lw : end])
+
+
+def test_eval_batches_cover_every_window(feature_root):
+    """Val-mode batches() must yield EVERY window (the trailing partial
+    batch included) — dropping it truncates mAP/mcAP; train keeps the
+    reference's drop_last."""
+    froot, troot, names = feature_root
+    ds = D.PerFrameDataset(froot, troot, names, CFG, long_sample_rate=2,
+                           mode="val")
+    rng = np.random.default_rng(0)
+    n = sum(b["features"].shape[0] for b in ds.batches(16, rng))
+    assert n == len(ds)  # 74 windows, 16 per batch -> final batch of 10
+    ds_tr = D.PerFrameDataset(froot, troot, names, CFG, long_sample_rate=2)
+    n_tr = sum(b["features"].shape[0] for b in ds_tr.batches(16, rng))
+    assert n_tr == (len(ds_tr) // 16) * 16
+
+
 def test_oad_train_and_inference(feature_root):
     froot, troot, names = feature_root
     ds = D.PerFrameDataset(froot, troot, names, CFG, long_sample_rate=2)

@@ -126,6 +126,40 @@ def test_pp_grads_match_sequential(mesh, params, pixels):
         )
 
 
+def test_pp_dropout_decorrelated_across_microbatches(mesh, params):
+    """Identical samples routed through DIFFERENT microbatches must draw
+    different dropout masks — a layer-only RNG fold gave every microbatch
+    the same (B/M, ...) mask, correlating regularization across the batch
+    in a way the sequential trunk (one draw over the full B) never does."""
+    import dataclasses
+
+    cfg_d = dataclasses.replace(CFG, hidden_dropout_prob=0.3)
+    # trunk-only (embed applies its own full-batch dropout, which already
+    # decorrelates rows — the trunk is where the per-microbatch fold lives)
+    n_patches = (32 // CFG.patch_size) ** 2 + 1
+    one = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (1, CFG.num_frames, n_patches, CFG.hidden_size), jnp.float32,
+    )
+    # 4 identical rows; data=2 shards x M=2 microbatches of 1 row each:
+    # within a data shard, mb0's row == mb1's row
+    x = jnp.tile(one, (4, 1, 1, 1))
+    stacked, _ = pp.stack_pipeline_params(params, mesh.shape["pipe"])
+
+    with mesh:
+        out = jax.jit(
+            lambda sl, h: pp.pipelined_trunk(
+                sl, h, cfg_d, mesh=mesh, num_microbatches=2,
+                rng=jax.random.PRNGKey(7), deterministic=False,
+            )
+        )(stacked, x)
+    got = np.asarray(out)
+    # rows 0/1 share a data shard (and rows 2/3): same input, different
+    # microbatch -> different mask -> different output
+    assert not np.allclose(got[0], got[1])
+    assert not np.allclose(got[2], got[3])
+
+
 def test_pp_placement_shards_stages(mesh, params):
     """Each pipe rank should hold 1/pipe of the layer stack — the memory
     win that motivates pipelining."""

@@ -118,6 +118,34 @@ def test_cache_capacity_shapes_static():
     )
 
 
+def test_row_major_bf16_odd_capacity_decode(monkeypatch):
+    """Row-major bf16 cache whose capacity is NOT a multiple of 8, with the
+    Pallas flags on: too small for the in-place kernel, and it must NOT
+    fall into the int8-fused branch (which reads the k_scale leaves a
+    non-quantized cache doesn't have) — regression for a KeyError that only
+    fired on TPU. Patching _use_pallas exercises the dispatch on CPU; the
+    surviving einsum path never invokes a kernel."""
+    params, px = _setup()
+    cfg = CFG.replace(cache_layout="row_major", use_pallas_spatial=False)
+    ref_cache = encoder.init_cache(cfg, batch=2, capacity=20)
+    refs = []
+    for t in range(4):
+        out, ref_cache = encoder.streaming_forward(
+            params, px[:, t : t + 1], ref_cache, cfg
+        )
+        refs.append(np.asarray(out["pooler_output"]))
+
+    monkeypatch.setattr(encoder, "_use_pallas", lambda c: True)
+    cache = encoder.init_cache(cfg, batch=2, capacity=20)
+    for t in range(4):
+        out, cache = encoder.streaming_forward(
+            params, px[:, t : t + 1], cache, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pooler_output"]), refs[t], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_streaming_int8_cache_close_to_full_clip(rng):
     """cache_dtype="int8": streaming outputs track the full-clip forward
     within quantization noise (per-(row,pos,head) absmax int8)."""
