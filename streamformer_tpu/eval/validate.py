@@ -52,7 +52,9 @@ def validate_retrieval(model, params, batches) -> Dict[str, float]:
     vids, txts = [], []
     for px, captions in batches:
         v = np.asarray(fwd(params, px), np.float32)
-        t = np.asarray(model.encode_texts(list(captions)), np.float32)
+        t = np.asarray(
+            model.encode_texts(list(captions), params=params), np.float32
+        )
         vids.append(v / np.linalg.norm(v, axis=-1, keepdims=True))
         txts.append(t / np.linalg.norm(t, axis=-1, keepdims=True))
     v = np.concatenate(vids)

@@ -145,6 +145,11 @@ def save_rendered(frames: Sequence[np.ndarray], out: str,
     .avi via cv2 when the path has a video extension. Returns the path."""
     ext = os.path.splitext(out)[1].lower()
     if ext in (".mp4", ".avi"):
+        if not len(frames):
+            raise ValueError(
+                "save_rendered: no frames to write — a zero-frame video "
+                "has no dimensions for the cv2 writer"
+            )
         import cv2
         h, w = frames[0].shape[:2]
         fourcc = cv2.VideoWriter_fourcc(*("mp4v" if ext == ".mp4" else "XVID"))

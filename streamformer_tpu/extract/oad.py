@@ -149,11 +149,7 @@ def extract_features_batched(
     Returns per-clip (L_i, D) float32 feature arrays, input order.
     """
     capacity = capacity or cfg.cache_capacity
-    on_kernel_path = (
-        encoder._use_pallas(cfg) and cfg.use_pallas_streaming
-        and cfg.cache_layout == "pos_major"
-    )
-    mode = "ring" if on_kernel_path else "linear"
+    mode = encoder.auto_cache_mode(cfg)
     lens = [int(c.shape[0]) for c in clips]
     if mode == "linear" and lens and max(lens) > capacity:
         raise ValueError(
@@ -248,13 +244,21 @@ def extract_videos_batched(
     dt = jnp.dtype(cfg.dtype)
 
     def load_group(paths):
-        clips = []
+        """HOST-ONLY (runs on the prefetch thread): decode + fps-resample
+        to uint8 numpy. No jnp/device calls here — concurrent dispatch from
+        two threads deadlocks some PJRT transports (the axon tunnel among
+        them); device preprocess happens on the caller's thread below."""
+        raw = []
         for p in paths:
             frames, fps = video_io.read_video_full(p)
             idx = video_io.resample_to_fps(len(frames), fps, target_fps)
-            px = preprocess_frames(frames[idx], cfg.image_size)
-            clips.append(np.asarray(px, dt))
-        return clips
+            raw.append(frames[idx])
+        return raw
+
+    def to_device_clips(raw):
+        # caller-thread device preprocess (one-dispatch-thread rule)
+        return [np.asarray(preprocess_frames(f, cfg.image_size), dt)
+                for f in raw]
 
     groups = [list(video_paths[i : i + group])
               for i in range(0, len(video_paths), group)]
@@ -265,7 +269,7 @@ def extract_videos_batched(
             raise RuntimeError(
                 f"decoding group {gi} (videos {nxt['paths']}) failed"
             ) from nxt["error"]
-        clips = nxt["clips"]
+        clips = to_device_clips(nxt["clips"])
         th = None
         if gi + 1 < len(groups):
             nxt = {}

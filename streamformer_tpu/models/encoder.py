@@ -367,6 +367,19 @@ def _use_pallas(cfg: StreamformerConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
+def auto_cache_mode(cfg: StreamformerConfig) -> str:
+    """'ring' when the fused pos-major decode kernels serve the sliding
+    window (TPU + pallas + pos_major layout), else 'linear' — the einsum
+    fallback has no wrap-around decode, so off-kernel callers must size
+    the capacity to the whole stream. Single home for the predicate shared
+    by serving.StreamingEngine and extract.oad."""
+    kernel = (
+        _use_pallas(cfg) and cfg.use_pallas_streaming
+        and cfg.cache_layout == "pos_major"
+    )
+    return "ring" if kernel else "linear"
+
+
 def _qkv_heads(x_ln: jnp.ndarray, p: Params, num_heads: int):
     """Project to fused qkv and split into (q, k, v) with heads.
 

@@ -186,10 +186,16 @@ class MultitaskModel:
         )
         return out["input_ids"].astype(np.int32)
 
-    def encode_texts(self, texts: List[str]) -> jnp.ndarray:
-        """(len(texts), D) pooled text embeddings (frozen tower)."""
+    def encode_texts(self, texts: List[str], params=None) -> jnp.ndarray:
+        """(len(texts), D) pooled text embeddings (frozen tower).
+
+        Mid-training evals must pass the CURRENT ``params`` (the trainer's
+        state tree): ``self.params`` aliases the tree handed to
+        TrainState.create, whose buffers the first donated step deletes on
+        TPU — dereferencing them raises "Array has been deleted"."""
         ids = jnp.asarray(self.tokenize(texts))
-        out = text_encoder.forward(self.params["text"], ids, self.text_cfg)
+        tree = self.params if params is None else params
+        out = text_encoder.forward(tree["text"], ids, self.text_cfg)
         return jax.lax.stop_gradient(out["pooler_output"])
 
     def encode_label_prompts(

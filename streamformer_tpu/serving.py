@@ -80,11 +80,7 @@ class StreamingEngine:
     ):
         capacity = capacity or cfg.cache_capacity
         if mode == "auto":
-            kernel = (
-                encoder._use_pallas(cfg) and cfg.use_pallas_streaming
-                and cfg.cache_layout == "pos_major"
-            )
-            mode = "ring" if kernel else "linear"
+            mode = encoder.auto_cache_mode(cfg)
         assert mode in ("linear", "ring"), mode
         self.cfg = cfg.replace(cache_mode=mode, cache_capacity=capacity)
         self.params = params

@@ -228,7 +228,8 @@ class MultitaskTrainer:
         # epoch-boundary checkpoint restores with an EMPTY buffer, so
         # zeroing here keeps resumed == uninterrupted bit-identical
         if int(state.accum_count) != 0:
-            state = state.replace(
+            state = dataclasses.replace(
+                state,
                 grad_accum=jax.tree.map(jnp.zeros_like, state.grad_accum),
                 accum_count=jnp.zeros((), jnp.int32),
             )
@@ -260,8 +261,9 @@ class MultitaskTrainer:
                         )
             pending.clear()
 
-        # steady-state profiling window: [skip, skip + profile_steps)
-        profile_skip = 2 if profile_steps > 0 else -1
+        # steady-state profiling window: [skip, skip + profile_steps) —
+        # anchored at start_micro so a mid-epoch resume still traces
+        profile_skip = start_micro + 2 if profile_steps > 0 else -1
         tracing = False
 
         def stop_trace():
@@ -284,6 +286,11 @@ class MultitaskTrainer:
                 fn = self.step_fn(task_name, apply_update)
                 batch = self.shard_batch(batch)
                 state, out = fn(state, batch["pixel_values"], batch["task_input"], sub)
+                # record the optimizer count the update was APPLIED with
+                # (inject_hyperparams evaluates schedules at the pre-update
+                # count, which starts at 0) — logging post-increment shifted
+                # every opt/lr point one step ahead
+                step_applied = host_step
                 if apply_update:
                     host_step += 1
                 pending.append(
@@ -291,7 +298,7 @@ class MultitaskTrainer:
                         task_name,
                         out["loss"],
                         out["grad_norm"] if apply_update else None,
-                        host_step,
+                        step_applied,
                     )
                 )
                 micro += 1

@@ -294,6 +294,52 @@ def test_batched_extraction_matches_lone_streams():
     assert worst < 1e-4, worst
 
 
+def test_extract_videos_batched_from_files(tmp_path):
+    """File-level driver: decode (host-only prefetch thread) -> caller-
+    thread device preprocess -> batched extract -> per-video .npy dumps,
+    matching extract_features_batched on identically preprocessed clips."""
+    import cv2
+
+    from streamformer_tpu.extract import oad
+    from streamformer_tpu.data import video_io
+
+    cfg = small_cfg(cache_capacity=16)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    paths, lens = [], [4, 6, 3]
+    for i, l in enumerate(lens):
+        p = str(tmp_path / f"v{i}.avi")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 24.0,
+                             (40, 36))
+        for _ in range(l):
+            vw.write(rng.integers(0, 255, (36, 40, 3), np.uint8))
+        vw.release()
+        paths.append(p)
+
+    out_dir = str(tmp_path / "feats")
+    feats = oad.extract_videos_batched(
+        params, cfg, paths, out_dir=out_dir, slots=2, group=2,
+        target_fps=24.0,
+    )
+    assert [f.shape for f in feats] == [(l, cfg.hidden_size) for l in lens]
+
+    # oracle: same decode + preprocess, straight through the batched core
+    clips = []
+    for p in paths:
+        frames, fps = video_io.read_video_full(p)
+        idx = video_io.resample_to_fps(len(frames), fps, 24.0)
+        clips.append(np.asarray(
+            oad.preprocess_frames(frames[idx], cfg.image_size), np.float32
+        ))
+    want = oad.extract_features_batched(
+        params, cfg, [jnp.asarray(c) for c in clips], slots=2
+    )
+    for i, (got, ref) in enumerate(zip(feats, want)):
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+        saved = np.load(f"{out_dir}/v{i}.npy")
+        np.testing.assert_allclose(saved, got, atol=0, rtol=0)
+
+
 def test_batched_extraction_overflow_guard():
     """Off the fused ring path the ragged cache is linear: a clip longer
     than capacity must be rejected with the actionable message."""

@@ -293,6 +293,69 @@ def test_profile_steps_epoch_shorter_than_window(model, rng, tmp_path):
     assert int(state.step) == 3
 
 
+def test_encode_texts_uses_passed_params(model):
+    """Mid-training evals (validate_retrieval) pass the trainer's CURRENT
+    state tree — ``self.params`` aliases buffers the first donated step
+    deletes on TPU, so encode_texts must read the passed tree."""
+    texts = ["a video of a dog"]
+    base = np.asarray(model.encode_texts(texts))
+    zeroed = jax.tree.map(jnp.zeros_like, model.params)
+    out = np.asarray(model.encode_texts(texts, params=zeroed))
+    assert not np.allclose(base, out)
+
+
+def test_epoch_start_discards_leftover_accum(model, rng):
+    """An epoch whose micro-batch count is not a multiple of update_freq
+    leaves accum_count != 0; the NEXT epoch must reset it (reference
+    zero_grad at epoch start) — regression for an AttributeError on the
+    plain-dataclass TrainState."""
+    lr = optim.cosine_lr_schedule(1e-3, 1e-5, epochs=2, steps_per_epoch=2)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    trainer = MultitaskTrainer(model, tx, update_freq=2)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(3)]  # odd
+    state, _ = trainer.train_one_epoch(
+        state, iter(batches), 0, jax.random.PRNGKey(0)
+    )
+    assert int(state.accum_count) == 1
+    state, _ = trainer.train_one_epoch(
+        state, iter(batches), 1, jax.random.PRNGKey(1)
+    )
+    assert int(state.accum_count) == 1  # 3 % 2, from THIS epoch only
+    assert int(state.step) == 2
+
+
+def test_logged_lr_matches_applied_lr(model, rng):
+    """The opt/lr point logged for an update is the lr that update was
+    APPLIED with (inject_hyperparams evaluates schedules at the pre-update
+    count, starting at 0) — it was logged one step ahead."""
+    from streamformer_tpu.train import metrics as metrics_lib
+
+    lr = optim.cosine_lr_schedule(1e-2, 1e-5, epochs=1, steps_per_epoch=4,
+                                  warmup_epochs=1)
+    tx = optim.create_optimizer(model.params, lr, weight_decay=0.01)
+    trainer = MultitaskTrainer(model, tx, update_freq=1)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params), tx)
+    batches = [("Kinetics", _class_batch(rng)) for _ in range(4)]
+
+    logged = []
+
+    class _Writer:
+        def set_step(self):
+            pass
+
+        def update(self, head="", **kw):
+            if head == "opt" and "lr" in kw:
+                logged.append(kw["lr"])
+
+    trainer.train_one_epoch(
+        state, iter(batches), 0, jax.random.PRNGKey(0),
+        log_writer=_Writer(), lr_schedule=lr, print_freq=1,
+    )
+    want = [float(lr(i)) for i in range(4)]
+    np.testing.assert_allclose(logged, want, rtol=1e-6)
+
+
 def test_preemption_stop_and_exact_resume(model, rng, tmp_path):
     """SIGTERM-style early stop + mid-epoch resume reproduces an
     uninterrupted epoch bit-for-bit: should_stop halts after an optimizer
