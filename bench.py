@@ -201,16 +201,24 @@ def measure_torch_reference(batch: int = 1, context: int = 16, steps: int = 5):
 
     torch.manual_seed(0)
     frame = torch.randn(batch, 1, 3, 224, 224)
+    import copy
+
     with torch.no_grad():
         cache = DynamicCache()
         warm = torch.randn(batch, context - 1, 3, 224, 224)
         model(warm, use_cache=True, past_key_values=cache)
-        # untimed warmup step
-        model(frame, use_cache=True, past_key_values=cache)
+        # every step (warmup + timed) runs against a COPY of the
+        # post-warm cache so the measured context is FIXED at `context`
+        # (cached context-1 + the new frame) — letting the DynamicCache
+        # grow across timed steps measured contexts 17..21 instead of the
+        # stated 16, biasing the baseline slow. The copy happens outside
+        # the timed region.
+        model(frame, use_cache=True, past_key_values=copy.deepcopy(cache))
         times = []
         for _ in range(steps):
+            c = copy.deepcopy(cache)
             t0 = time.perf_counter()
-            model(frame, use_cache=True, past_key_values=cache)
+            model(frame, use_cache=True, past_key_values=c)
             times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     return batch / dt, dt
@@ -477,7 +485,11 @@ def main():
                 clip.nbytes * batch / 1e6 / ingest
 
         engine_run()  # warm: compile the engine step + staging write
-        fps, mbs = max(engine_run() for _ in range(2))
+        # best run BY FPS; a plain max() over the tuples would compare
+        # lexicographically and pair the winning fps with an unrelated
+        # ingest number on ties
+        fps, mbs = max((engine_run() for _ in range(2)),
+                       key=lambda r: r[0])
         _PARTIAL["fps_engine_streaming"] = round(fps, 2)
         _PARTIAL["engine_ingest_mb_per_sec"] = round(mbs, 1)
 
@@ -839,8 +851,10 @@ def main():
                 _section("lm-engine", sec_lm_engine)
             # LAST: the 7B program is the slowest compile (~5 min through
             # the tunnel) and the largest allocation (~8.5 GB) — nothing
-            # downstream can be hurt if it exhausts either budget
-            if budget_left(1700):
+            # downstream can be hurt if it exhausts either budget. Its gate
+            # must exceed every earlier gate (a lower one silently skipped
+            # the 7B metric on exactly the slow runs that reached it late).
+            if budget_left(2200):
                 _section("lm-7b-int8", sec_lm_7b)
 
         if (

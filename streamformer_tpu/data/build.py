@@ -32,10 +32,14 @@ def _load_label2id(block) -> Optional[Dict[str, int]]:
     return None
 
 
-def _build_one(task: str, block: Dict[str, Any], mode: str):
+def _build_one(task: str, block: Dict[str, Any], mode: str,
+               label2id: Optional[Dict[str, int]] = None):
     clip_len = int(block.get("num_frames", 16))
     short = int(block.get("short_side_size", 256))
-    label2id = _load_label2id(block)
+    # an explicit label2id (the TRAIN split's mapping) wins: deriving the
+    # mapping independently per split silently remaps every class when the
+    # validation anno is missing any label
+    label2id = label2id if label2id is not None else _load_label2id(block)
     anno = block.get("anno_path") or block.get("data_path")
     if task in CLASSIFICATION_TASKS:
         ds = D.VideoClsSparseDataset(
@@ -114,12 +118,17 @@ def build_multi_task_dataset(
     blocks = metadata["datasets"]
     train, evals, mtc = [], [], {}
     for task, modes in blocks.items():
+        train_l2i = None
         if "train" in modes:
-            ds, label2id = _build_one(task, modes["train"], "train")
+            ds, train_l2i = _build_one(task, modes["train"], "train")
             train.append(ds)
-            mtc[task] = {"label2id": label2id}
+            mtc[task] = {"label2id": train_l2i}
         if "validation" in modes:
-            ds, label2id = _build_one(task, modes["validation"], "validation")
+            # validation reuses the train split's label2id so head rows and
+            # eval labels agree even when the val anno misses a class
+            ds, label2id = _build_one(
+                task, modes["validation"], "validation", label2id=train_l2i
+            )
             evals.append(ds)
             mtc.setdefault(task, {"label2id": label2id})
     train_union = D.MultiTaskDataset(train, balance=balance)

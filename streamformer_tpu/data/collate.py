@@ -306,11 +306,26 @@ class MultitaskLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list = []
+        stop = threading.Event()  # set when the consumer abandons mid-epoch
+
+        def _put(item) -> bool:
+            # bounded put that watches for consumer abandonment: a plain
+            # q.put would block FOREVER holding decoded batches when the
+            # trainer breaks out early (preemption), pinning host memory
+            # and leaking one thread per abandoned epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in host_gen():
-                    q.put(item)
+                    if not _put(item):
+                        return  # consumer gone: drop and exit
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 # propagate to the consumer: a swallowed loader error would
                 # silently TRUNCATE the epoch (clean sentinel, normal
@@ -318,15 +333,24 @@ class MultitaskLoader:
                 # prefetch<=0 path raises, so this path must too
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                break
-            step, (task, frames, tis) = item
-            yield self._finalize(task, frames, tis, step)
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    break
+                step, (task, frames, tis) = item
+                yield self._finalize(task, frames, tis, step)
+        finally:
+            stop.set()
+            # drain so a worker blocked mid-put releases its batch now
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -60,6 +60,26 @@ def _host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
     )
 
 
+def _test_spatial_crop(frames: np.ndarray, split_nb: int,
+                       num_crop: int) -> np.ndarray:
+    """(T, H, W, C) -> (T, S, S, C): square test-view crop at view
+    ``split_nb`` along the LONGER axis (the reference's multi-crop test
+    protocol, kinetics_sparse.py:151-160: spatial_step =
+    (long - short) / (num_crop - 1)). num_crop == 1 degrades to the center
+    crop. Host-side so every test view is a uniform square (mixed aspect
+    ratios stack into one batch) and the crops are actually DIFFERENT —
+    a device center-crop downstream would make all views identical."""
+    t, h, w, c = frames.shape
+    s = min(h, w)
+    if num_crop <= 1:
+        oy, ox = (h - s) // 2, (w - s) // 2
+    else:
+        step = (max(h, w) - s) / (num_crop - 1)
+        off = int(round(split_nb * step))
+        oy, ox = (off, 0) if h >= w else (0, off)
+    return frames[:, oy : oy + s, ox : ox + s]
+
+
 def _map_label(label2id: Optional[Dict], raw) -> np.int64:
     """Remap an annotation label through label2id like the reference
     (`label_list = [self.label2id[label] ...]`, kinetics_sparse.py:194-195).
@@ -129,6 +149,8 @@ class VideoClsSparseDataset(_RetryDataset):
         frames = vr.get_batch(idx)
         vr.close()
         frames = _host_resize_short(frames, self.short_side_size)
+        if self.mode == "test":
+            frames = _test_spatial_crop(frames, split_nb, self.test_num_crop)
         out = {
             "task_name": self.task_name,
             "task_input": {
@@ -175,6 +197,8 @@ class VideoClsDenseDataset(VideoClsSparseDataset):
         frames = vr.get_batch(idx)
         vr.close()
         frames = _host_resize_short(frames, self.short_side_size)
+        if self.mode == "test":
+            frames = _test_spatial_crop(frames, split_nb, self.test_num_crop)
         out = {
             "task_name": self.task_name,
             "task_input": {
@@ -267,9 +291,15 @@ class TALWindowedDataset(_RetryDataset):
         # segment [s, e] seconds maps to the covered index range
         gt_segments, gt_labels = [], []
         for (s, e), lab in zip(row.get("segments", []), row.get("labels", [])):
-            covered = np.where((times >= float(s)) & (times <= float(e)))[0]
+            s_f, e_f = float(s), float(e)
+            covered = np.where((times >= s_f) & (times <= e_f))[0]
             if len(covered) == 0:
-                continue
+                # an action shorter than the sampling stride covers no
+                # sampled frame; snap it to the nearest frame — dropping it
+                # would rasterize its frames as background and actively
+                # train the model that the action is absent
+                j = int(np.argmin(np.abs(times - 0.5 * (s_f + e_f))))
+                covered = np.asarray([j])
             gt_segments.append([float(covered[0]), float(covered[-1])])
             gt_labels.append(int(self.label2id.get(str(lab), lab)))
         return {
@@ -523,6 +553,7 @@ class RawFrameClsDataset(_RetryDataset):
         self.short_side_size = short_side_size
         self.filename_tmpl = filename_tmpl
         self.test_num_segment = test_num_segment
+        self.test_num_crop = test_num_crop
         cleaned = pd.read_csv(anno_path, header=None, delimiter=split)
         self.samples = list(cleaned.values[:, 0])
         self.total_frames = list(cleaned.values[:, 1])
@@ -539,9 +570,9 @@ class RawFrameClsDataset(_RetryDataset):
 
         if self.mode == "test":
             vid_idx, view_idx = divmod(index, len(self.views))
-            chunk_nb, _ = self.views[view_idx]
+            chunk_nb, split_nb = self.views[view_idx]
         else:
-            vid_idx, chunk_nb = index, 0
+            vid_idx, chunk_nb, split_nb = index, 0, 0
         total = int(self.total_frames[vid_idx])
         idx = video_io.sparse_sample_indices(
             total,
@@ -560,7 +591,9 @@ class RawFrameClsDataset(_RetryDataset):
                 raise IOError(vdir)
             frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
         frames = _host_resize_short(np.stack(frames), self.short_side_size)
-        return {
+        if self.mode == "test":
+            frames = _test_spatial_crop(frames, split_nb, self.test_num_crop)
+        out = {
             "task_name": self.task_name,
             "task_input": {
                 "frames": frames,
@@ -568,3 +601,11 @@ class RawFrameClsDataset(_RetryDataset):
                                     self.labels[vid_idx]),
             },
         }
+        if self.mode == "test":
+            # same multi-view keys as the video datasets — final_test's
+            # per-video softmax merge needs sample_idx
+            out["task_input"].update(
+                {"chunk_nb": chunk_nb, "split_nb": split_nb,
+                 "sample_idx": vid_idx}
+            )
+        return out

@@ -188,12 +188,29 @@ class DistributedBatchTaskSequentialSampler(DistributedBatchTaskUniqueSampler):
 
 
 class DistributedBatchTaskBalancedSampler(DistributedBatchTaskUniqueSampler):
-    """Per-task runs scaled so each gradient-accumulation window of
-    ``update_freq`` batches sees every task (reference sampler.py:179-347)."""
+    """Size-scaled round-robin interleave (reference sampler.py:179-347):
+    every round emits ``scale_factor`` consecutive batches per task
+    (scale = task_size / smallest task), so ONE ROUND — ``accum_steps``
+    batches, not an arbitrary window — sees every task. The reference
+    pairs this with ``update_freq = accum_steps`` ("the accumulation step
+    is 176/16 = 11" in its docstring); read :attr:`accum_steps` after
+    construction to configure the trainer the same way."""
 
-    def __init__(self, *args, update_freq: int = 1, **kw):
-        super().__init__(*args, **kw)
-        self.update_freq = update_freq
+    @property
+    def accum_steps(self) -> int:
+        """Batches per balanced round = the accumulation window the
+        schedule is balanced over (sum of per-task scale factors)."""
+        lens = {n: s.length for n, s in self.specs.items()}
+        per = {
+            n: (1 if n in self.fake_batch_tasks else self.batch_size)
+            * self.num_replicas
+            for n in lens
+        }
+        counts = {n: lens[n] // per[n] for n in lens if lens[n] >= per[n]}
+        if not counts:
+            return 1
+        m = min(counts.values())
+        return sum(max(1, round(c / m)) for c in counts.values())
 
     def _schedule(self) -> List[List[int]]:
         g = self._rng()

@@ -454,6 +454,144 @@ def test_label2id_remaps_noncontiguous_labels(tmp_path):
     assert int(ds2[0]["task_input"]["label"]) == 42
 
 
+def test_multiview_test_crops_differ(data_root):
+    """test_num_crop views must be DIFFERENT square crops along the longer
+    axis (reference multi-crop protocol) — split_nb used to be emitted but
+    never consumed, so all 'crop views' were byte-identical."""
+    from streamformer_tpu.data import datasets as D
+
+    ds = D.VideoClsSparseDataset(
+        anno_path=data_root["cls"], mode="test", clip_len=2,
+        short_side_size=48, test_num_segment=1, test_num_crop=3,
+    )
+    views = [ds[i]["task_input"] for i in range(3)]  # 3 views of video 0
+    assert [v["split_nb"] for v in views] == [0, 1, 2]
+    assert all(v["sample_idx"] == 0 for v in views)
+    for v in views:
+        t, h, w, c = v["frames"].shape
+        assert h == w == 48  # square: mixed aspect ratios stack cleanly
+    assert not np.array_equal(views[0]["frames"], views[1]["frames"])
+    assert not np.array_equal(views[1]["frames"], views[2]["frames"])
+    # view 0 starts at the left edge, view 2 ends at the right edge of the
+    # 48x64 source
+    assert not np.array_equal(views[0]["frames"], views[2]["frames"])
+
+
+def test_tal_short_segment_snaps_to_nearest_frame(tmp_path):
+    """An action shorter than the window sampling stride must still yield
+    a gt segment (snapped to the nearest sampled frame) — dropping it
+    rasterized its frames as background."""
+    from streamformer_tpu.data import datasets as D
+
+    p = str(tmp_path / "tal.avi")
+    _write_video(p, n=12)  # 10 fps -> 1.2 s
+    anno = str(tmp_path / "tal.json")
+    with open(anno, "w") as f:
+        json.dump([{"video": p, "segments": [[0.45, 0.55]],
+                    "labels": [0]}], f)
+    ds = D.TALWindowedDataset(anno_path=anno, mode="validation",
+                              window_size=4, clip_len=4,
+                              short_side_size=48, label2id={"0": 0})
+    ti = ds[0]["task_input"]
+    # sampled times [0, 0.3, 0.7, 1.1]: nothing inside [0.45, 0.55] — the
+    # segment snaps to the frame nearest the midpoint 0.5 (frame 2: in
+    # binary 0.7 sits a hair closer than 0.3)
+    assert ti["gt_segments"].shape == (1, 2)
+    np.testing.assert_array_equal(ti["gt_segments"][0], [2.0, 2.0])
+    assert list(ti["gt_labels"]) == [0]
+
+
+def test_val_label2id_reuses_train_mapping(tmp_path):
+    """When label2id is derived (no label2id_path), the validation split
+    must REUSE the train mapping — deriving it from the val anno remaps
+    every class when the val split misses a label."""
+    from streamformer_tpu.data.build import build_multi_task_dataset
+
+    root = tmp_path
+    vids = []
+    for i in range(3):
+        p = str(root / f"t{i}.avi")
+        _write_video(p, n=4)
+        vids.append(p)
+    train_anno = str(root / "train.csv")
+    with open(train_anno, "w") as f:
+        f.write(f"{vids[0]} 3\n{vids[1]} 7\n{vids[2]} 42\n")
+    val_anno = str(root / "val.csv")
+    with open(val_anno, "w") as f:
+        f.write(f"{vids[1]} 7\n{vids[2]} 42\n")  # class 3 missing
+
+    meta = {"datasets": {"Kinetics": {
+        "train": {"anno_path": train_anno, "num_frames": 2},
+        "validation": {"anno_path": val_anno, "num_frames": 2},
+    }}}
+    train_union, eval_union, mtc = build_multi_task_dataset(meta)
+    l2i = mtc["Kinetics"]["label2id"]
+    assert l2i == {"3": 0, "7": 1, "42": 2}
+    val_ds = eval_union.datasets[0]
+    assert val_ds.label2id == l2i
+    # label 7 maps to head row 1 in BOTH splits
+    assert int(val_ds[0]["task_input"]["label"]) == 1
+
+
+def test_prefetch_worker_exits_on_abandoned_iterator():
+    """Breaking out of the loader mid-epoch (the trainer's preemption path)
+    must release the prefetch worker — a plain blocking q.put parked it
+    forever holding prefetch+1 decoded batches of host memory."""
+    import threading
+    import time
+
+    import jax.numpy as jnp
+
+    from streamformer_tpu.data.collate import MultitaskLoader
+    from streamformer_tpu.data.samplers import (
+        DistributedBatchTaskUniqueSampler, task_specs_from_lengths)
+
+    class Tiny:
+        task_name = "Kinetics"
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {
+                "task_name": "Kinetics",
+                "task_input": {
+                    "frames": np.zeros((2, 32, 32, 3), np.uint8),
+                    "label": 0,
+                },
+            }
+
+    class Union:
+        datasets = [Tiny()]
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return self.datasets[0][i]
+
+        @property
+        def unified_dataset_lengths(self):
+            return [32]
+
+    class ModelStub:
+        label_embeddings = {"Kinetics": jnp.zeros((2, 16), jnp.float32)}
+
+    sampler = DistributedBatchTaskUniqueSampler(
+        task_specs_from_lengths(["Kinetics"], [32]), batch_size=2)
+    loader = MultitaskLoader(Union(), sampler, ModelStub(), crop_size=32,
+                             num_workers=1, prefetch=2)
+    loader.set_epoch(0)
+    it = iter(loader)
+    next(it)
+    n_live = threading.active_count()  # includes the blocked worker
+    it.close()  # GeneratorExit -> finally -> stop event
+    deadline = time.time() + 10
+    while time.time() < deadline and threading.active_count() >= n_live:
+        time.sleep(0.05)
+    assert threading.active_count() < n_live, "prefetch worker never exited"
+
+
 def test_prefetch_propagates_loader_errors(tmp_path):
     """A loader error on the prefetch thread must fail the epoch, not
     silently truncate it (regression r4: the worker swallowed the

@@ -284,11 +284,18 @@ def test_sequential_and_balanced_samplers():
     assert order == sorted(order, key=["Kinetics", "TaskRetrieval",
                                        "THUMOS14"].index)
 
-    bal = DistributedBatchTaskBalancedSampler(specs, batch_size=4,
-                                              update_freq=2)
+    bal = DistributedBatchTaskBalancedSampler(specs, batch_size=4)
     bal_order = [
         task_of(next(i for i in b if i != PAD_INDEX)) for b in bal
     ]
-    # balanced: the first few batches interleave tasks rather than running
-    # one task to exhaustion
-    assert len(set(bal_order[:4])) >= 2
+    # balanced: the schedule is size-scaled round-robin — every round of
+    # accum_steps batches sees EVERY task (the reference's accumulation
+    # window, sampler.py:179-347)
+    w = bal.accum_steps
+    assert w == 5  # K 10/6->2, Retrieval 6/6->1, THUMOS 10/6->2
+    full_rounds = len(bal_order) // w
+    assert full_rounds >= 1
+    for r in range(full_rounds):
+        assert set(bal_order[r * w : (r + 1) * w]) == {
+            "Kinetics", "TaskRetrieval", "THUMOS14"
+        }
