@@ -468,7 +468,7 @@ def main():
             dtype=np.uint8,
         )
 
-        def engine_run():
+        def engine_run(frames):
             sids = [eng.open() for _ in range(batch)]
             t_in = time.perf_counter()
             for s in sids:
@@ -479,18 +479,26 @@ def main():
             float(jnp.sum(eng._stage[0, 0, 0, 0].astype(jnp.float32)))
             ingest = time.perf_counter() - t_in
             t0 = time.perf_counter()
-            eng.run_until_idle()
+            eng.run_until_idle(frames=frames)
             total = sum(len(eng.poll(s)[0]) for s in sids)
             return total / (time.perf_counter() - t0), \
                 clip.nbytes * batch / 1e6 / ingest
 
-        engine_run()  # warm: compile the engine step + staging write
+        # throughput mode: 8 frames per dispatch (one lax.scan of the t=1
+        # kernel, VERDICT r4 #5) amortizes the ~1-1.5 ms tunnel dispatch
+        # that capped the r4 engine at 66% of the bare ragged step; the
+        # latency mode (frames=1) is reported alongside
+        for fr in (8, 1):
+            engine_run(fr)  # warm: compile step + staging write
         # best run BY FPS; a plain max() over the tuples would compare
         # lexicographically and pair the winning fps with an unrelated
         # ingest number on ties
-        fps, mbs = max((engine_run() for _ in range(2)),
+        fps, mbs = max((engine_run(8) for _ in range(2)),
                        key=lambda r: r[0])
+        fps1, _ = max((engine_run(1) for _ in range(2)),
+                      key=lambda r: r[0])
         _PARTIAL["fps_engine_streaming"] = round(fps, 2)
+        _PARTIAL["fps_engine_streaming_frames1"] = round(fps1, 2)
         _PARTIAL["engine_ingest_mb_per_sec"] = round(mbs, 1)
 
     def sec_train():
@@ -699,11 +707,19 @@ def main():
 
     def sec_lm_engine():
         """The same decode served END-TO-END through the continuous-batching
-        DecodeEngine (prefill buckets + ragged slots + host loop). Compare
-        against lm_decode_tok_per_sec; PERF.md carries the per-tick
-        budget."""
+        DecodeEngine: token-ID ingest (IDs embedded on device inside the
+        fused prefill — what a text server receives; the r4 engine's whole
+        gap to its bare step was uploading (L, D) prompt embeds through
+        the ~15 MB/s tunnel), one fused dispatch per prefill chunk,
+        admission interleaved one chunk per tick, and 8 decode steps
+        scanned per dispatch. Publishes a MEASURED prefill/decode
+        decomposition of the timed window (VERDICT r4 #1): each dispatched
+        program is timed blocked and multiplied by the engine's dispatch
+        counters — `lm_engine_prefill_share` is the prefill fraction of
+        the window, `lm_engine_decode_only_tok_per_sec` the rate with
+        prefill time excised. Compare against lm_decode_tok_per_sec;
+        PERF.md carries the per-tick budget."""
         from streamformer_tpu.lm_serving import DecodeEngine
-        from streamformer_tpu.models import language_model as LMM
 
         lm_cfg, lm_params = lm_state["cfg"], lm_state["params"]
         # ONE long-lived engine, as deployed: constructing an engine per run
@@ -712,30 +728,88 @@ def main():
         eng = DecodeEngine(
             lm_params, lm_cfg, slots=8, capacity=512,
             max_new_tokens=64, prefill_buckets=(64, 128, 256, 448),
+            decode_steps_per_tick=8,
         )
         rngp = np.random.default_rng(9)
         prompts = [
-            np.asarray(
-                LMM.embed_tokens(lm_params, jnp.asarray(
-                    rngp.integers(0, lm_cfg.vocab_size,
-                                  (int(rngp.integers(64, 448)),))
-                )),
-                np.float32,
-            )
+            rngp.integers(0, lm_cfg.vocab_size,
+                          (int(rngp.integers(64, 448)),))
             for _ in range(16)  # 2 occupancy rounds over 8 slots
         ]
 
         def engine_run():
-            sids = [eng.open(p) for p in prompts]
+            s0 = {"chunks": dict(eng.stats["prefill_chunks"]),
+                  "by_k": dict(eng.stats["decode_by_k"])}
+            sids = [eng.open_tokens(p) for p in prompts]
             t0 = time.perf_counter()
             eng.run_until_idle()
             total = sum(len(eng.poll(s)[0]) for s in sids)
-            return total / (time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            chunks = {lb: n - s0["chunks"].get(lb, 0)
+                      for lb, n in eng.stats["prefill_chunks"].items()}
+            by_k = {k: n - s0["by_k"].get(k, 0)
+                    for k, n in eng.stats["decode_by_k"].items()}
+            return total / dt, total, dt, chunks, by_k
 
-        engine_run()  # warm: compile prefill buckets + decode
-        _PARTIAL["lm_engine_tok_per_sec"] = round(
-            max(engine_run() for _ in range(2)), 1
-        )
+        engine_run()  # warm: compile prefill buckets + k-step decode
+        best = max((engine_run() for _ in range(2)), key=lambda r: r[0])
+        fps, total, window, chunks, by_k = best
+        _PARTIAL["lm_engine_tok_per_sec"] = round(fps, 1)
+
+        # measured decomposition: time each dispatched program and multiply
+        # by the window's dispatch counts. Timing is PIPELINED (reps
+        # back-to-back dispatches, one block at the end, divided by reps)
+        # because that is how the window accrues them — a lone blocked
+        # dispatch pays the full tunnel roundtrip (~25 ms), ~4-10x its
+        # pipelined marginal cost. The engine is idle now — donating its
+        # cache/token mirror into the probe dispatches is harmless.
+        def timed_prog(fn, block, reps=8):
+            fn()
+            block()  # settle
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            block()
+            return (time.perf_counter() - t0) / reps
+
+        block = lambda: jax.block_until_ready(eng._last_tok_dev)
+        chunk_t = {}
+        for lb in chunks:
+            dev = jax.device_put(np.zeros((1, lb), np.int32))
+            prog = eng._fused_chunk_for(lb, True)
+
+            def one_chunk(lb=lb, dev=dev, prog=prog):
+                _, eng._cache, eng._last_tok_dev = prog(
+                    eng.params, dev, eng._cache, eng._last_tok_dev,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                    jnp.asarray(lb, jnp.int32), jnp.asarray(0, jnp.int32))
+
+            chunk_t[lb] = timed_prog(one_chunk, block)
+        dec_t = {}
+        for k in by_k:
+            prog = eng._decode_for(k)
+
+            def one_dec(prog=prog):
+                eng._last_tok_dev, eng._cache, eng._counts_dev, _ = prog(
+                    eng.params, eng._last_tok_dev, eng._cache,
+                    eng._active_dev, eng._sids_dev, eng._counts_dev)
+
+            dec_t[k] = timed_prog(one_dec, block)
+        prefill_s = sum(chunk_t[lb] * n for lb, n in chunks.items())
+        decode_s = sum(dec_t[k] * n for k, n in by_k.items())
+        _PARTIAL["lm_engine_prefill_share"] = round(prefill_s / window, 3)
+        _PARTIAL["lm_engine_decode_only_tok_per_sec"] = round(
+            total / max(window - prefill_s, 1e-9), 1)
+        _PARTIAL["lm_engine_decomp"] = {
+            "window_s": round(window, 4),
+            "prefill_s": round(prefill_s, 4),
+            "decode_s": round(decode_s, 4),
+            "chunk_ms": {lb: round(t * 1e3, 3) for lb, t in chunk_t.items()},
+            "chunk_counts": chunks,
+            "decode_dispatch_ms": {k: round(t * 1e3, 3)
+                                   for k, t in dec_t.items()},
+            "decode_dispatch_counts": by_k,
+        }
 
     def sec_lm_7b():
         """Qwen2.5-7B-geometry int8 decode on ONE 16 GB chip (the
@@ -887,6 +961,8 @@ def main():
             "fps_ring_unbounded": _PARTIAL.get("fps_ring_unbounded"),
             "fps_ragged_serving": _PARTIAL.get("fps_ragged_serving"),
             "fps_engine_streaming": _PARTIAL.get("fps_engine_streaming"),
+            "fps_engine_streaming_frames1": _PARTIAL.get(
+                "fps_engine_streaming_frames1"),
             "engine_ingest_mb_per_sec": _PARTIAL.get(
                 "engine_ingest_mb_per_sec"),
             "lm_decode_tok_per_sec": _PARTIAL.get("lm_decode_tok_per_sec"),
@@ -896,6 +972,11 @@ def main():
             "lm7b_int8_tok_per_sec_32slots": _PARTIAL.get(
                 "lm7b_int8_tok_per_sec_32slots"),
             "lm_engine_tok_per_sec": _PARTIAL.get("lm_engine_tok_per_sec"),
+            "lm_engine_prefill_share": _PARTIAL.get(
+                "lm_engine_prefill_share"),
+            "lm_engine_decode_only_tok_per_sec": _PARTIAL.get(
+                "lm_engine_decode_only_tok_per_sec"),
+            "lm_engine_decomp": _PARTIAL.get("lm_engine_decomp"),
             "train_clips_per_sec": _PARTIAL.get("train_clips_per_sec"),
             "train_mfu": _PARTIAL.get("train_mfu"),
             "p50_latency_ms_per_frame": _PARTIAL.get(

@@ -290,20 +290,7 @@ def forward(
         x = x + _dense(gate * _dense(h, lp["mlp"]["up"]), lp["mlp"]["down"])
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        logits = (x @ params["embed_tokens"].T.astype(dt)).astype(
-            jnp.float32
-        )
-    elif "lm_head_q" in params:  # int8 untied vocab head (ops/quant walk)
-        from streamformer_tpu.ops.quant import int8_dense
-
-        logits = int8_dense(
-            x,
-            {"kernel_q": params["lm_head_q"],
-             "kernel_scale": params["lm_head_scale"]},
-        ).astype(jnp.float32)
-    else:
-        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
+    logits = lm_logits(params, x, cfg)
     new_cache = None
     if cache is not None:
         new_cache = {"layers": new_layers, "len": start + l}
@@ -312,6 +299,28 @@ def forward(
 
 def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["embed_tokens"], ids, axis=0)
+
+
+def lm_logits(params: Params, x: jnp.ndarray, cfg: LMConfig) -> jnp.ndarray:
+    """Vocab head over final-norm hidden states ``x`` (..., D) -> fp32
+    (..., V). Factored out of ``forward`` so callers that need logits at
+    ONE position (e.g. a prefill chunk's last valid row) can index the
+    hidden state first and pay a 1xV matmul instead of LxV — at a
+    448-token chunk the full-vocab projection is ~25% of the chunk's
+    FLOPs, all of it dead work (jit DCEs ``forward``'s logits output when
+    unused)."""
+    dt = jnp.dtype(cfg.dtype)
+    if cfg.tie_word_embeddings:
+        return (x @ params["embed_tokens"].T.astype(dt)).astype(jnp.float32)
+    if "lm_head_q" in params:  # int8 untied vocab head (ops/quant walk)
+        from streamformer_tpu.ops.quant import int8_dense
+
+        return int8_dense(
+            x,
+            {"kernel_q": params["lm_head_q"],
+             "kernel_scale": params["lm_head_scale"]},
+        ).astype(jnp.float32)
+    return (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
 
 
 def lm_loss(

@@ -120,6 +120,7 @@ class StreamingEngine:
         self._rd = [0] * slots  # absolute frames consumed (host mirror)
         self._write = self._make_stage_write()
         self._step = self._make_step()
+        self._step_k = {}  # frames-per-dispatch -> compiled multi-frame tick
         self._slot_sid: List[Optional[int]] = [None] * slots
         self._queues: Dict[int, deque] = {}
         self._closed: set = set()
@@ -227,6 +228,50 @@ class StreamingEngine:
             return out["pooler_output"], cache, rd
 
         return step
+
+    def _step_for(self, k: int):
+        """Compiled MULTI-FRAME tick: a lax.scan of k t=1 steps in ONE
+        dispatch, each slot consuming up to ``navail[s]`` staged frames
+        (sub-steps past a slot's count are holds: dummy append, len rolled
+        back, output discarded at demux). On a tunnel where dispatch
+        latency (~1-1.5 ms) rivals the ~4 ms step, k frames per dispatch
+        amortize it k-fold — the throughput mode VERDICT r4 #5 asked for.
+        Outputs come back (slots, k, D); the host trims row s to
+        navail[s]."""
+        if k in self._step_k:
+            return self._step_k[k]
+        cfg = self.cfg
+        slots, depth = self.slots, self._stage_depth
+        u8, norm, dt = self._stage_u8, self._norm, self._dt
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def step_k(params, stage, rd, cache, admit, navail):
+            rd = jnp.where(admit, 0, rd)
+            cache = encoder.reset_streams(cache, admit)
+
+            def body(carry, i):
+                cache, rd = carry
+                active = i < navail
+                frame = stage[jnp.arange(slots), rd % depth][:, None]
+                if u8:
+                    f = frame.astype(jnp.float32) / 255.0
+                    if norm is not None:
+                        f = (f - norm[0]) / norm[1]
+                    frame = f.astype(dt)
+                out, cache = encoder.streaming_forward(params, frame, cache,
+                                                       cfg=cfg)
+                cache = {**cache,
+                         "len": jnp.where(active, cache["len"],
+                                          cache["len"] - 1)}
+                rd = jnp.where(active, rd + 1, rd)
+                return (cache, rd), out["pooler_output"][:, 0]
+
+            (cache, rd), seq = jax.lax.scan(
+                body, (cache, rd), jnp.arange(k))
+            return jnp.moveaxis(seq, 0, 1), cache, rd  # (slots, k, D)
+
+        self._step_k[k] = step_k
+        return step_k
 
     def _make_stage_write(self):
         depth = self._stage_depth
@@ -360,9 +405,18 @@ class StreamingEngine:
                     self._stage_frames(s, self._queues[head])
                 break
 
-    def tick(self) -> bool:
-        """Advance every feedable slot one frame; returns False when there
-        was nothing to do (no occupied slot fed, nothing admitted)."""
+    def tick(self, frames: int = 1) -> bool:
+        """Advance every feedable slot by up to ``frames`` staged frames in
+        ONE dispatch; returns False when there was nothing to do (no
+        occupied slot fed, nothing admitted).
+
+        ``frames=1`` is the latency mode (one frame per occupied slot per
+        dispatch). ``frames=k>1`` is the throughput mode: a compiled
+        k-step scan per dispatch. In linear mode slots consume their OWN
+        count (0..k — holds fill the difference); in ring mode holds are
+        illegal (the wrap-around dummy write would evict in-window
+        history), so the dispatch runs min-over-slots frames and the tick
+        falls back toward 1 as any slot runs dry."""
         # only streams that can feed on grant take a slot (an idle admit
         # would start ring streams with a hold, which ring cannot do)
         self._grant_slots()
@@ -371,7 +425,7 @@ class StreamingEngine:
             admit[s] = True
         self._admit_next.clear()
 
-        active = np.zeros(self.slots, bool)
+        avail = np.zeros(self.slots, np.int64)
         fed_sids: List[Optional[int]] = [None] * self.slots
         for s in range(self.slots):
             sid = self._slot_sid[s]
@@ -382,8 +436,8 @@ class StreamingEngine:
                 # overflow drain: host-queued frames re-stage as the ring
                 # frees (ring-mode streams fed faster than consumption)
                 self._stage_frames(s, self._queues[sid])
-            if self._wr[s] > self._rd[s]:
-                active[s] = True
+            avail[s] = self._wr[s] - self._rd[s]
+            if avail[s] > 0:
                 fed_sids[s] = sid
             else:
                 assert self.mode == "linear" or sid in self._closed, (
@@ -392,41 +446,68 @@ class StreamingEngine:
                     "evict in-window history) — feed() it every tick or "
                     "close() it"
                 )
-        if not active.any() and not admit.any():
+        if not avail.any() and not admit.any():
             return False
 
-        key = admit.tobytes() + active.tobytes()
-        if key != self._flags_key:
-            self._flags_key = key
-            self._admit_dev = jnp.asarray(admit)
-            self._active_dev = jnp.asarray(active)
-        pooled, self._cache, self._rd_dev = self._step(
-            self.params, self._stage, self._rd_dev, self._cache,
-            self._admit_dev, self._active_dev,
-        )
+        k = max(1, int(frames))
+        if k > 1 and self.mode == "ring":
+            # every occupied slot must consume exactly k (no ring holds)
+            k = max(1, min(int(a) for a in avail[avail > 0])) if \
+                avail.any() else 1
+            k = min(k, frames)
+        navail = np.minimum(avail, k).astype(np.int32)
+
+        if k == 1:
+            active = navail > 0
+            key = admit.tobytes() + active.tobytes()
+            if key != self._flags_key:
+                self._flags_key = key
+                self._admit_dev = jnp.asarray(admit)
+                self._active_dev = jnp.asarray(active)
+            pooled, self._cache, self._rd_dev = self._step(
+                self.params, self._stage, self._rd_dev, self._cache,
+                self._admit_dev, self._active_dev,
+            )
+            pooled_n = 1
+        else:
+            key = admit.tobytes() + navail.tobytes()
+            if key != self._flags_key:
+                self._flags_key = key
+                self._admit_dev = jnp.asarray(admit)
+                self._active_dev = jnp.asarray(navail)
+            pooled, self._cache, self._rd_dev = self._step_for(k)(
+                self.params, self._stage, self._rd_dev, self._cache,
+                self._admit_dev, self._active_dev,
+            )
+            pooled_n = k
         for s in range(self.slots):
-            if active[s]:
-                self._rd[s] += 1
+            self._rd[s] += int(navail[s])
         if self.collect:
-            self._stash.append((pooled, fed_sids))
+            self._stash.append((pooled, pooled_n, fed_sids, navail))
             if len(self._stash) >= self._stash_limit:
                 self._drain_stash()  # bound device-resident outputs
-        for sid in fed_sids:
+        for s, sid in enumerate(fed_sids):
             if sid is not None:
-                self._served[sid] += 1
+                self._served[sid] += int(navail[s])
         return True
 
     def _drain_stash(self) -> None:
         if not self._stash:
             return
-        ticks, sid_maps = zip(*self._stash)
-        self._stash = []
-        # one bulk transfer for all stashed ticks
-        block = np.asarray(jnp.concatenate(ticks, axis=1), np.float32)
-        for ti, sids in enumerate(sid_maps):
+        entries, self._stash = self._stash, []
+        # one bulk transfer for all stashed ticks: every entry is
+        # (slots, n_i, D) device output (n_i = 1 for latency ticks, k for
+        # multi-frame ticks; row s carries navail[s] valid columns)
+        block = np.asarray(
+            jnp.concatenate([e[0] for e in entries], axis=1), np.float32
+        )
+        off = 0
+        for (_, n, sids, navail) in entries:
             for s, sid in enumerate(sids):
                 if sid is not None and sid in self._results:
-                    self._results[sid].append(block[s, ti])
+                    for i in range(int(navail[s])):
+                        self._results[sid].append(block[s, off + i])
+            off += n
 
     def poll(self, sid: int) -> Tuple[np.ndarray, bool]:
         """(new (t, D) features since last poll, stream finished?).
@@ -483,9 +564,11 @@ class StreamingEngine:
             return bool(self._queues[h])
         return False
 
-    def run_until_idle(self, max_ticks: int = 1_000_000) -> int:
-        """Drive ticks until every stream drains; returns ticks run."""
+    def run_until_idle(self, max_ticks: int = 1_000_000,
+                       frames: int = 1) -> int:
+        """Drive ticks until every stream drains; returns ticks run.
+        ``frames`` forwards to tick() (throughput mode k>1)."""
         n = 0
-        while n < max_ticks and self.tick():
+        while n < max_ticks and self.tick(frames=frames):
             n += 1
         return n

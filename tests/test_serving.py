@@ -430,3 +430,116 @@ def test_engine_mesh_int8_scale_sharding(params):
         lay["k_scale"].sharding
     assert eng._cache["len"].sharding.spec == P("data")
     assert eng._stage.sharding.spec[0] == "data"
+
+
+def test_engine_multiframe_tick_matches_single(params):
+    """Throughput mode: tick(frames=k) scans k frames per dispatch with
+    per-slot valid counts — features must EXACTLY match the frames=1
+    engine and the lone-stream oracle, across uneven stream lengths
+    (partial counts + holds inside the scan), mid-run admission into
+    recycled slots, and a mixed k-then-1 schedule."""
+    rng = np.random.default_rng(11)
+    lens = [3, 9, 2, 7, 5]
+    clips = [rng.standard_normal((l, 3, 32, 32)).astype(np.float32)
+             for l in lens]
+
+    def run(frames, interleave=False):
+        eng = StreamingEngine(params, CFG, slots=2)
+        sids = []
+        for clip in clips:
+            sid = eng.open()
+            eng.feed(sid, clip)
+            eng.close(sid)
+            sids.append(sid)
+        if interleave:  # alternate k and 1 ticks: schedule independence
+            while eng.tick(frames=frames) or eng.tick():
+                pass
+        else:
+            eng.run_until_idle(frames=frames)
+        out = []
+        for sid in sids:
+            feats, done = eng.poll(sid)
+            assert done
+            out.append(feats)
+        return out
+
+    base = run(1)
+    for sid, (clip, ref) in enumerate(zip(clips, base)):
+        np.testing.assert_allclose(ref, lone_stream(params, clip),
+                                   rtol=0, atol=1e-5)
+    for got, ref in zip(run(4), base):
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+    for got, ref in zip(run(3, interleave=True), base):
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_engine_multiframe_ring_min_avail(params, monkeypatch):
+    """Ring mode cannot hold, so a k-frame tick must run min-over-slots
+    frames; outputs still equal the lone ring stream. (Ragged ring runs
+    only on the fused decode; interpret mode stands in for the TPU.)"""
+    from jax.experimental import pallas as pl
+    from streamformer_tpu.ops import attention as A
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        A.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(encoder, "_use_pallas", lambda cfg: cfg.use_pallas)
+
+    cfg = CFG.replace(cache_mode="ring", cache_capacity=4, use_pallas=True)
+    rng = np.random.default_rng(13)
+    clips = [rng.standard_normal((6, 3, 32, 32)).astype(np.float32),
+             rng.standard_normal((9, 3, 32, 32)).astype(np.float32)]
+
+    def lone_ring(clip):
+        step = partial(encoder.streaming_forward, cfg=cfg)
+        cache = encoder.init_cache(cfg, batch=1)
+        out = []
+        for t in range(clip.shape[0]):
+            o, cache = step(params, jnp.asarray(clip[None, t:t + 1]), cache)
+            out.append(np.asarray(o["pooler_output"][0, 0], np.float32))
+        return np.stack(out)
+
+    eng = StreamingEngine(params, cfg, slots=2, mode="ring")
+    sids = []
+    for clip in clips:
+        sid = eng.open()
+        eng.feed(sid, clip)
+        eng.close(sid)
+        sids.append(sid)
+    eng.run_until_idle(frames=4)
+    for sid, clip in zip(sids, clips):
+        feats, done = eng.poll(sid)
+        assert done
+        np.testing.assert_allclose(feats, lone_ring(clip),
+                                   rtol=0, atol=1e-5, err_msg=f"s{sid}")
+
+
+def test_engine_multiframe_uint8_staging(params):
+    """frames=k composes with on-device uint8 normalization (the
+    in-scan gather + normalize must equal the float-fed frames=1 run)."""
+    rng = np.random.default_rng(17)
+    raw = rng.integers(0, 256, size=(7, 3, 32, 32), dtype=np.uint8)
+    mean = (0.48, 0.46, 0.41)
+    std = (0.27, 0.26, 0.28)
+    m = np.asarray(mean, np.float32).reshape(1, 3, 1, 1)
+    s = np.asarray(std, np.float32).reshape(1, 3, 1, 1)
+    as_float = (raw.astype(np.float32) / 255.0 - m) / s
+
+    ref_eng = StreamingEngine(params, CFG, slots=2)
+    r = ref_eng.open()
+    ref_eng.feed(r, as_float)
+    ref_eng.close(r)
+    ref_eng.run_until_idle()
+    ref, _ = ref_eng.poll(r)
+
+    eng = StreamingEngine(params, CFG, slots=2, stage_dtype="uint8",
+                          normalize=(mean, std))
+    sid = eng.open()
+    eng.feed(sid, raw)
+    eng.close(sid)
+    eng.run_until_idle(frames=4)
+    feats, done = eng.poll(sid)
+    assert done
+    np.testing.assert_allclose(feats, ref, rtol=0, atol=1e-5)
