@@ -121,6 +121,10 @@ def classification_head(
     (modeling_timesformer_siglip.py:1704-1726): normalize last-frame pooled
     feature, dot with label embeds, SigLIP ±1 targets, sum / B.
     """
+    # the reference DETACHES the label embeddings (:1710) — the zero-shot
+    # class anchors never receive gradients; stop_gradient is the exact
+    # backward-semantics mirror (pinned in tests/test_grad_parity.py)
+    label_embeddings = jax.lax.stop_gradient(label_embeddings)
     img = _norm(pooler_output[:, -1, :])  # causal: last frame sees all
     logits = _logits(img @ label_embeddings.T, logit_scale, logit_bias)  # (B, L)
     b, l = logits.shape
