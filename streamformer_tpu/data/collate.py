@@ -58,7 +58,7 @@ def make_train_augment(
         return T.to_model_input(x)
 
     @jax.jit
-    def aug_batch(rng, clips_u8):  # (B, T, H, W, C) uint8
+    def aug_batch(rng, clips_u8, sample_ids=None):  # (B, T, H, W, C) uint8
         k_ops, rng = jax.random.split(rng)
         # op choice drawn ONCE per batch, OUTSIDE the vmap: a batched switch
         # index would make XLA run every augment branch for every sample
@@ -67,7 +67,15 @@ def make_train_augment(
         op_indices = jax.random.randint(
             k_ops, (n_layers,), 0, len(RAND_TRANSFORMS)
         )
-        keys = jax.random.split(rng, clips_u8.shape[0])
+        if sample_ids is None:
+            keys = jax.random.split(rng, clips_u8.shape[0])
+        else:
+            # per-sample keys from the DATASET index, not the batch
+            # position: sample i then draws the same augmentation whether
+            # the global batch reaches this process whole or rank-strided,
+            # so one run is reproducible across world sizes (the reference's
+            # per-worker torch RNG has no such invariance)
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(sample_ids)
         return jax.vmap(aug_one, in_axes=(0, 0, None))(
             keys, clips_u8, op_indices
         )
@@ -162,20 +170,35 @@ class MultitaskLoader:
         except Exception:
             pass
 
-    def _collate_host(self, samples: List[Dict]) -> Tuple[str, np.ndarray, List[Dict]]:
+    def _collate_host(
+        self, samples: List[Dict], indices: List[int]
+    ) -> Tuple[str, np.ndarray, List[Dict], List[int]]:
         """numpy-only collation — safe inside the prefetch thread (device
         dispatch from a second thread deadlocks some PJRT transports)."""
         task = samples[0]["task_name"]
         tis = [s["task_input"] for s in samples]
         frames = np.stack([ti["frames"] for ti in tis])  # (B,T,H,W,C) u8
-        return task, frames, tis
+        return task, frames, tis, indices
 
-    def _finalize(self, task: str, frames: np.ndarray, tis: List[Dict], step: int):
+    def _finalize(
+        self,
+        task: str,
+        frames: np.ndarray,
+        tis: List[Dict],
+        step: int,
+        ids: Optional[List[int]] = None,
+    ):
         """device-touching half — main thread only."""
         kind = head_type_for_task(task)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.aug_seed), step)
         if self.train:
-            pixel_values = self.aug(rng, jnp.asarray(frames))
+            # keyed per (step, dataset index): world-size-invariant draws
+            sample_ids = (
+                jnp.asarray(np.asarray(ids, np.uint32))
+                if ids is not None
+                else None
+            )
+            pixel_values = self.aug(rng, jnp.asarray(frames), sample_ids)
         else:
             pixel_values = self.aug(jnp.asarray(frames))
 
@@ -294,11 +317,12 @@ class MultitaskLoader:
                 samples = self._fetch(indices)
                 if not samples:
                     continue
-                yield step, self._collate_host(samples)
+                real = [i for i in indices if i != PAD_INDEX]
+                yield step, self._collate_host(samples, real)
 
         if self.prefetch <= 0:
-            for step, (task, frames, tis) in host_gen():
-                yield self._finalize(task, frames, tis, step)
+            for step, (task, frames, tis, ids) in host_gen():
+                yield self._finalize(task, frames, tis, step, ids)
             return
 
         # prefetch thread does host work only (decode + numpy collate);
@@ -344,8 +368,8 @@ class MultitaskLoader:
                     if err:
                         raise err[0]
                     break
-                step, (task, frames, tis) = item
-                yield self._finalize(task, frames, tis, step)
+                step, (task, frames, tis, ids) = item
+                yield self._finalize(task, frames, tis, step, ids)
         finally:
             stop.set()
             # drain so a worker blocked mid-put releases its batch now

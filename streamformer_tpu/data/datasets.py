@@ -33,6 +33,19 @@ class _RetryDataset:
 
     _max_retries = 10
 
+    def set_epoch(self, epoch: int) -> None:
+        """Key per-sample draws (temporal frame sampling) by
+        (epoch, index): draws vary across epochs but any (epoch, index)
+        pair replays identically — so a resumed run, and the same run at a
+        different world size (rank-strided sampler shards), see the SAME
+        frames for the same sample. The reference's unseeded per-worker
+        torch RNG has neither property (sampler.py:87 seeds only the
+        schedule, not the per-sample draws)."""
+        self._epoch = epoch
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((getattr(self, "_epoch", 0), index))
+
     def __getitem__(self, index):
         for _ in range(self._max_retries):
             try:
@@ -145,6 +158,7 @@ class VideoClsSparseDataset(_RetryDataset):
             ),
             test_chunk=chunk_nb,
             test_num_segment=self.test_num_segment,
+            rng=self._sample_rng(index),
         )
         frames = vr.get_batch(idx)
         vr.close()
@@ -193,6 +207,7 @@ class VideoClsDenseDataset(VideoClsSparseDataset):
             ),
             test_chunk=chunk_nb,
             test_num_segment=self.test_num_segment,
+            rng=self._sample_rng(index),
         )
         frames = vr.get_batch(idx)
         vr.close()
@@ -274,7 +289,7 @@ class TALWindowedDataset(_RetryDataset):
         if self.mode == "train":
             # one random frame per uniform segment (loadvideo_decord train)
             seg = max(0.0, float(total - 1) / w)
-            rng = np.random.default_rng()
+            rng = self._sample_rng(index)
             lo = np.round(seg * np.arange(w)).astype(np.int64)
             hi = np.round(seg * (np.arange(w) + 1)).astype(np.int64)
             idx = np.minimum(
@@ -350,7 +365,8 @@ class RetrievalDataset(_RetryDataset):
         if trimmed and vr.fps > 0:
             total = min(total, int(30 * vr.fps))
         idx = video_io.retrieval_sample_indices(
-            total, self.clip_len, "rand" if self.mode == "train" else "middle"
+            total, self.clip_len, "rand" if self.mode == "train" else "middle",
+            rng=self._sample_rng(index),
         )
         frames = vr.get_batch(idx)
         vr.close()
@@ -417,7 +433,8 @@ class GroundingDataset(_RetryDataset):
             ).astype(np.int64)
         else:
             idx = video_io.retrieval_sample_indices(
-                total, self.clip_len, "rand" if self.mode == "train" else "middle"
+                total, self.clip_len, "rand" if self.mode == "train" else "middle",
+                rng=self._sample_rng(index),
             )
         times = idx / max(vr.fps, 1e-6)
         labels = ((times >= start) & (times <= end)).astype(np.float32)
@@ -582,6 +599,7 @@ class RawFrameClsDataset(_RetryDataset):
             ),
             test_chunk=chunk_nb,
             test_num_segment=self.test_num_segment,
+            rng=self._sample_rng(index),
         )
         vdir = os.path.join(self.prefix, str(self.samples[vid_idx]))
         frames = []

@@ -299,3 +299,31 @@ def test_sequential_and_balanced_samplers():
         assert set(bal_order[r * w : (r + 1) * w]) == {
             "Kinetics", "TaskRetrieval", "THUMOS14"
         }
+
+
+def test_train_augment_world_size_invariant(rng):
+    """Per-sample (step, dataset-index) aug keys: the SAME sample gets the
+    SAME augmentation whether its batch reaches one process whole or
+    rank-strided across two — the property the 2-process == 1-process
+    training gate (test_multiprocess.py) rests on."""
+    import jax
+
+    from streamformer_tpu.data.collate import make_train_augment
+
+    aug = make_train_augment(crop_size=24)
+    clips = jnp.asarray(
+        (rng.random((4, 2, 32, 32, 3)) * 255).astype(np.uint8)
+    )
+    ids = jnp.asarray([10, 11, 12, 13], jnp.uint32)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 5)  # step 5
+
+    whole = np.asarray(aug(key, clips, ids))
+    # rank-strided halves (ranks 0/1 of world 2), same step key
+    r0 = np.asarray(aug(key, clips[0::2], ids[0::2]))
+    r1 = np.asarray(aug(key, clips[1::2], ids[1::2]))
+    np.testing.assert_array_equal(whole[0::2], r0)
+    np.testing.assert_array_equal(whole[1::2], r1)
+
+    # and WITHOUT ids the legacy per-position stream still applies
+    legacy = np.asarray(aug(key, clips))
+    assert legacy.shape == whole.shape
