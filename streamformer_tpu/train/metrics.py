@@ -132,7 +132,12 @@ class TensorboardLogger:
 
 
 def write_log_line(output_dir: str, stats: Dict):
-    """JSON-lines log.txt (reference run_finetuning_multi_task.py:571-581)."""
+    """JSON-lines log.txt, process 0 only under multi-host (reference
+    run_finetuning_multi_task.py:571-581 gates on is_main_process)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "log.txt"), "a") as f:
         f.write(json.dumps(stats) + "\n")

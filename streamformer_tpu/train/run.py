@@ -73,6 +73,13 @@ def get_args():
                    help="sequence-parallel: shard the patch axis over mp")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env")
+    # manual coordinator bootstrap (the torchrun MASTER_ADDR/RANK/WORLD_SIZE
+    # analog, reference utils.py:372-447): when the cluster env can't be
+    # auto-detected, pass all three explicitly on every process
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (with --distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler TensorBoard trace of this "
                         "many steady-state steps of the first epoch "
@@ -102,7 +109,14 @@ def main():
         # multi-host single-controller bootstrap (reference
         # init_distributed_mode, utils.py:372-447 -> NCCL; here coordinator
         # discovery comes from the standard JAX env vars / TPU metadata)
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     # device mesh (L0): data axis = DP/ZeRO + the contrastive ring,
     # model axis = Megatron TP / patch (sequence) sharding
