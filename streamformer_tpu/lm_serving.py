@@ -126,7 +126,9 @@ class DecodeEngine:
         self.top_k = top_k
         self.top_p = top_p
         self._base_key = jax.random.PRNGKey(seed)
-        self.cache_dtype = cache_dtype  # None | "int8" (half the KV HBM)
+        # None | "int8" (half the KV HBM) | "int4" (quarter — nibble-packed,
+        # 2x the slots x context of int8 on the same chip; ops/quant.py)
+        self.cache_dtype = cache_dtype
         self.buckets = sorted(b for b in prefill_buckets if b <= capacity)
         assert self.buckets, "no prefill bucket fits the capacity"
         self.prefill_chunks_per_tick = prefill_chunks_per_tick

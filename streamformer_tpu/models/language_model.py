@@ -144,7 +144,12 @@ def init_cache(
     cache; the torch reference's DynamicCache is lockstep-only).
     ``cache_dtype="int8"`` stores K/V symmetric-quantized per
     (row, position, kv-head) with float32 scales — half the HBM footprint,
-    which is the capacity limit for a 7B tower on 16 GB chips."""
+    which is the capacity limit for a 7B tower on 16 GB chips.
+    ``cache_dtype="int4"`` nibble-packs two 4-bit values per byte (same
+    per-(row, position, kv-head) scales) — quarter the bf16 footprint,
+    2x the slots x context of int8 at the same HBM (ops/quant.py
+    quantize_kv4; decode stays weights-bandwidth-bound, so throughput is
+    unchanged while capacity doubles)."""
     dt = jnp.dtype(cfg.dtype)
     shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
     ln = (
@@ -152,10 +157,17 @@ def init_cache(
         if per_stream_len
         else jnp.zeros((), jnp.int32)
     )
-    if cache_dtype == "int8":
+    if cache_dtype in ("int8", "int4"):
+        qdh = cfg.head_dim if cache_dtype == "int8" else cfg.head_dim // 2
+        if cache_dtype == "int4":
+            assert cfg.head_dim % 2 == 0, (
+                f"int4 KV nibble-packs pairs: head_dim must be even, "
+                f"got {cfg.head_dim}"
+            )
+        qshape = shape[:-1] + (qdh,)
         layer = lambda: {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
+            "k": jnp.zeros(qshape, jnp.int8),
+            "v": jnp.zeros(qshape, jnp.int8),
             "k_scale": jnp.zeros(shape[:-1], jnp.float32),
             "v_scale": jnp.zeros(shape[:-1], jnp.float32),
         }
@@ -233,6 +245,14 @@ def forward(
                     dequantize_kv, quantize_kv,
                 )
 
+                # int4 planes store dh/2 packed bytes — dispatch on the
+                # (static) plane width, so one forward serves both widths
+                int4 = cache["layers"][i]["k"].shape[-1] == dh // 2
+                if int4:
+                    from streamformer_tpu.ops.quant import (
+                        dequantize_kv4 as dequantize_kv,
+                        quantize_kv4 as quantize_kv,
+                    )
                 kq, ks = quantize_kv(k)  # (B, l, hkv) scales over dh
                 vq, vs = quantize_kv(v)
                 lay = {

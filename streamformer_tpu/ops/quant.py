@@ -80,6 +80,42 @@ def int8_dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
+def quantize_kv4(x: jnp.ndarray) -> tuple:
+    """Symmetric int4 quantization over the head dim, nibble-packed.
+
+    x: (..., dh) -> (int8 packed (..., dh/2), float32 scales (...,)).
+    Two 4-bit two's-complement values per byte (even head-dim index in the
+    low nibble, odd in the high). Quarter the bf16 KV footprint — the
+    capacity lever one step past int8 KV for long-context / high-occupancy
+    LM serving on 16 GB chips (PERF.md "7B-class tower"). There is no int4
+    MXU path on v5e; consumers dequantize to the compute dtype (the unpack
+    is two shifts, fused by XLA into the attention reads), so this trades
+    a little VPU work for 2x the slots x context of int8 at the same HBM.
+    """
+    dh = x.shape[-1]
+    assert dh % 2 == 0, f"head_dim must be even to nibble-pack, got {dh}"
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(ax, 1e-8) / 7.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+    ).astype(jnp.int8)
+    lo = jnp.bitwise_and(q[..., 0::2], jnp.int8(0x0F))
+    hi = jnp.left_shift(q[..., 1::2], 4)
+    return jnp.bitwise_or(hi, lo), scale
+
+
+def dequantize_kv4(packed: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`quantize_kv4`: (..., dh/2) int8 + (...,) scales
+    -> (..., dh) ``dtype``. Sign-extension via arithmetic shifts (numpy
+    semantics: >> on int8 is arithmetic; << wraps mod 256, by design)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    q = jnp.stack([lo, hi], axis=-1).reshape(
+        *packed.shape[:-1], packed.shape[-1] * 2
+    )
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def quantize_encoder_params(
     params: Params, min_elements: Optional[int] = None
 ) -> Params:

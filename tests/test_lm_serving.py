@@ -351,6 +351,56 @@ def test_int8_kv_cache(lm):
     assert outs["int8"] == outs[None], outs
 
 
+def test_int4_kv_cache(lm):
+    """cache_dtype="int4": quarter-footprint nibble-packed KV (the
+    capacity lever one step past int8 — 2x the slots x context at the
+    same HBM, ops/quant.py quantize_kv4). Same gates as int8: step
+    logits stay close to the fp cache and the engine end-to-end tracks
+    the fp engine's greedy tokens on a toy model."""
+    cfg, params = lm
+    rng = np.random.default_rng(6)
+    cap = 16
+    hist = rng.integers(0, cfg.vocab_size, size=(2, 6))
+    new = rng.integers(0, cfg.vocab_size, size=(2,))
+
+    def run(cache_dtype):
+        c = LM.init_cache(cfg, 2, cap, per_stream_len=True,
+                          cache_dtype=cache_dtype)
+        _, c = LM.forward(params, jnp.asarray(_emb(params, hist[0])[None]
+                          .repeat(2, 0)), cfg, cache=c)
+        out, _ = LM.forward(params, jnp.asarray(_emb(params, new)[:, None]),
+                            cfg, cache=c)
+        return np.asarray(out["logits"][:, -1])
+
+    fp, q = run(None), run("int4")
+    cos = (fp * q).sum() / (np.linalg.norm(fp) * np.linalg.norm(q))
+    assert cos > 0.995, cos
+
+    # the packed plane really is half the int8 plane (quarter of bf16)
+    c4 = LM.init_cache(cfg, 2, cap, per_stream_len=True, cache_dtype="int4")
+    c8 = LM.init_cache(cfg, 2, cap, per_stream_len=True, cache_dtype="int8")
+    assert (c4["layers"][0]["k"].shape[-1] * 2
+            == c8["layers"][0]["k"].shape[-1])
+
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)) for n in (3, 5)]
+    outs = {}
+    for cd in (None, "int4"):
+        eng = DecodeEngine(params, cfg, slots=2, capacity=cap,
+                           max_new_tokens=4, prefill_buckets=(8,),
+                           cache_dtype=cd)
+        sids = [eng.open(_emb(params, p)) for p in prompts]
+        eng.run_until_idle()
+        outs[cd] = [eng.poll(sid)[0] for sid in sids]
+    # greedy tokens: allow at most one flip across the 8 generated tokens
+    # (int4 rounds at 1/7 of the row absmax; argmax ties can legitimately
+    # flip near decision boundaries — the task-level gate, same policy as
+    # test_quant.py's zero-shot top-1 agreement)
+    flat_fp = [t for s in outs[None] for t in s]
+    flat_q4 = [t for s in outs["int4"] for t in s]
+    flips = sum(a != b for a, b in zip(flat_fp, flat_q4))
+    assert flips <= 1, (outs[None], outs["int4"])
+
+
 def test_int8_weights_lm(lm):
     """int8 WEIGHTS (the 2x lever for the weights-bandwidth-bound decode,
     PERF.md): the quantized tree flows transparently through LM.forward
