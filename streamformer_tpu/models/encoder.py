@@ -655,7 +655,7 @@ def _ring_attend_pos_major(q, k, v, cache, cache_len, cfg, causal):
 
 
 def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
-                                attend_cap):
+                                attend_cap, new_valid=None):
     """Streaming temporal attention on the pos-major (C, B·N, D) cache —
     einsum formulation (fp32 parity, multi-frame appends, non-causal; the
     production t=1 decode takes the flat-D fused-kernel path in
@@ -678,8 +678,13 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
     # failed, so no re-check here)
     if ragged:
         return _ragged_attend_einsum(
-            q, k, v, cache, cache_len, cfg, causal, attend_cap
+            q, k, v, cache, cache_len, cfg, causal, attend_cap,
+            new_valid=new_valid,
         )
+    assert new_valid is None, (
+        "new_valid (per-stream partial appends) needs a ragged "
+        "per_stream_len cache"
+    )
 
     # einsum fallback (fp32 parity, multi-frame appends, non-causal):
     # host-graph plane dus — contiguous, but XLA may relayout-copy the cache
@@ -734,14 +739,24 @@ def _streaming_attend_pos_major(q, k, v, cache, cache_len, cfg, causal,
 
 
 def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
-                          attend_cap):
+                          attend_cap, new_valid=None):
     """Einsum path for ragged (per-stream length) streaming on the
     padded-flat pos-major cache ((C, B·n_pad, D), row-major (R', C) int8
     scales — see init_cache(per_stream_len=True)). Serves fp32 parity,
     multi-frame appends and non-causal shapes; the t=1 causal decode takes
     fused_temporal_decode_pm_ragged (bf16/fp) or
     fused_temporal_decode_pm_int8_ragged instead. Masks, appends and
-    positions are all per-stream."""
+    positions are all per-stream.
+
+    ``new_valid`` (B,) int32 in [0, t] marks how many of the t new frames
+    are real per stream (None = all t): frames ti >= new_valid[b] neither
+    append nor advance anything — their query outputs are garbage the
+    caller discards. This is what lets a multi-stream serving engine
+    advance every slot by its OWN staged count inside ONE t=k dispatch
+    (StreamingEngine throughput mode) instead of scanning k t=1 steps:
+    the t=1 decode re-reads the FULL temporal KV cache per appended frame
+    (~half its step time at the flagship config), while one t=k append
+    reads it once — the HBM-bandwidth argument, see PERF.md."""
     from streamformer_tpu.ops.attention import ragged_row_pad
 
     b, t, n, h, dh = q.shape
@@ -751,6 +766,8 @@ def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
     n_pad = cache["k"].shape[1] // b
     assert n_pad == ragged_row_pad(n, 32 if quantized else 8)
     assert attend_cap is None, "attend_cap bucketing is lockstep-only"
+    if new_valid is not None:
+        assert causal, "new_valid (partial multi-frame appends) is causal-only"
 
     def pad_n(a):  # (B, T, N, ...) -> (B, T, n_pad, ...)
         if n_pad == n:
@@ -759,31 +776,38 @@ def _ragged_attend_einsum(q, k, v, cache, cache_len, cfg, causal,
         pads[2] = (0, n_pad - n)
         return jnp.pad(a, pads)
 
-    # per-stream one-hot appends FIRST (the new frames must be attendable,
-    # like the lockstep path's pre-attention dus): frame ti lands at slot
-    # len[b] + ti for stream b's rows (linear contract: len + t <= cap)
+    # per-stream appends FIRST (the new frames must be attendable, like the
+    # lockstep path's pre-attention dus): frame ti lands at slot len[b] + ti
+    # for stream b's rows (linear contract: len + t <= cap). One masked
+    # scatter of the (t, R') new rows — invalid frames (ti >= new_valid[b])
+    # are routed out of bounds and dropped; traffic is O(t·R·D) written
+    # rows, not the O(t·C·R·D) full-cache one-hot rewrite a where() costs.
     kp = pad_n(k).transpose(1, 0, 2, 3, 4).reshape(t, b * n_pad, d)
     vp = pad_n(v).transpose(1, 0, 2, 3, 4).reshape(t, b * n_pad, d)
-    slot_rows = jnp.repeat(cache_len, n_pad)  # (R',)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (cap, b * n_pad), 0)
-    for ti in range(t):
-        hit = cidx == (slot_rows + ti)[None, :]  # (C, R')
-        for key, val in (("k", kp), ("v", vp)):
-            vt = val[ti]  # (R', D)
-            if quantized:
-                qv, s = quantize_kv(vt)
-                cache[key] = jnp.where(
-                    hit[:, :, None], qv[None].astype(cache[key].dtype),
-                    cache[key],
-                )
-                cache[f"{key}_scale"] = jnp.where(
-                    hit.T, s[:, None], cache[f"{key}_scale"]
-                )
-            else:
-                cache[key] = jnp.where(
-                    hit[:, :, None], vt[None].astype(cache[key].dtype),
-                    cache[key],
-                )
+    slot_rows = jnp.repeat(cache_len, n_pad)  # (R,)
+    r_ = b * n_pad
+    pos = slot_rows[None, :] + jax.lax.broadcasted_iota(
+        jnp.int32, (t, r_), 0
+    )  # (t, R') destination slots
+    if new_valid is not None:
+        ok = jax.lax.broadcasted_iota(jnp.int32, (t, r_), 0) < jnp.repeat(
+            new_valid, n_pad
+        )[None, :]
+        pos = jnp.where(ok, pos, cap)  # out of bounds -> dropped
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, r_), 1)
+    for key, val in (("k", kp), ("v", vp)):
+        if quantized:
+            qv, s = quantize_kv(val)  # (t, R', D) int8, (t, R') scales
+            cache[key] = cache[key].at[pos, rows].set(
+                qv.astype(cache[key].dtype), mode="drop"
+            )
+            cache[f"{key}_scale"] = cache[f"{key}_scale"].at[rows, pos].set(
+                s, mode="drop"
+            )
+        else:
+            cache[key] = cache[key].at[pos, rows].set(
+                val.astype(cache[key].dtype), mode="drop"
+            )
 
     def view(key):  # (C, B, N, H, dh) — padded rows sliced off
         arr = cache[key].reshape(cap, b, n_pad, h, dh)[:, :, :n]
@@ -819,6 +843,7 @@ def temporal_attention(
     cache_kv: Optional[Dict[str, jnp.ndarray]] = None,
     cache_len: Optional[jnp.ndarray] = None,
     attend_cap: Optional[int] = None,
+    new_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Attention over frames T, batched over (B, N), with optional KV cache.
 
@@ -870,6 +895,7 @@ def temporal_attention(
         and cfg.cache_layout == "pos_major"
         and t == 1
         and causal
+        and new_valid is None  # partial appends take the einsum path
         and _use_pallas(cfg)
         and cfg.use_pallas_streaming
     ):
@@ -891,6 +917,48 @@ def temporal_attention(
             rows_per_stream=n if _ragged else None,
         )
         return dense(ctx.reshape(b, 1, n, d_), p["out"]), cache
+
+    if (
+        cache_kv is not None
+        and cfg.cache_layout == "pos_major"
+        and cfg.cache_mode != "ring"
+        and _ragged
+        and 2 <= t <= 16
+        and causal
+        and "k_scale" not in cache_kv
+        and attend_cap is None
+        and _use_pallas(cfg)
+        and cfg.use_pallas_streaming
+    ):
+        # throughput-mode multi-frame append: ONE kernel pass appends each
+        # stream's first new_valid[b] of the t new frames and answers all
+        # t queries per cache read — the t=1 decode re-reads the full
+        # temporal KV cache per frame (~half its step time at the flagship
+        # config), so a scan of k t=1 steps pays that k times
+        # (ops/attention.fused_temporal_append_pm_ragged; einsum oracle:
+        # _ragged_attend_einsum with new_valid)
+        from streamformer_tpu.ops import attention as pops
+
+        cache = dict(cache_kv)
+        n_pad = pops.ragged_row_pad(n, 8)
+        qkv = dense(x, p["qkv"])  # (B, T, N, 3D)
+
+        def rows(a):  # (B, T, N, D) -> (T, B*n_pad, D)
+            if n_pad != n:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+            return a.transpose(1, 0, 2, 3).reshape(t, b * n_pad, d)
+
+        valid = (jnp.full((b,), t, jnp.int32) if new_valid is None
+                 else jnp.asarray(new_valid, jnp.int32))
+        ctx, cache["k"], cache["v"] = pops.fused_temporal_append_pm_ragged(
+            rows(qkv[..., :d]),
+            rows(qkv[..., d : 2 * d]),
+            rows(qkv[..., 2 * d :]),
+            cache["k"], cache["v"], cache_len, valid, n_pad,
+            num_heads=h,
+        )
+        ctx = ctx.reshape(t, b, n_pad, d)[:, :, :n].transpose(1, 0, 2, 3)
+        return dense(ctx, p["out"]), cache
 
     scale = cfg.head_dim**-0.5
     q, k, v = _qkv_heads(x, p["qkv"], h)  # (B,T,N,H,dh)
@@ -918,14 +986,22 @@ def temporal_attention(
     cache = dict(cache_kv)
     if cfg.cache_layout == "pos_major":
         if cfg.cache_mode == "ring":
+            assert new_valid is None, (
+                "new_valid holds are illegal in ring mode (a wrap-around "
+                "dummy write would evict in-window history)"
+            )
             ctx, cache = _ring_attend_pos_major(
                 q, k, v, cache, cache_len, cfg, causal
             )
         else:
             ctx, cache = _streaming_attend_pos_major(
-                q, k, v, cache, cache_len, cfg, causal, attend_cap
+                q, k, v, cache, cache_len, cfg, causal, attend_cap,
+                new_valid=new_valid,
             )
         return dense(ctx, p["out"]), cache
+    assert new_valid is None, (
+        "new_valid (per-stream partial appends) is a pos_major feature"
+    )
     if _ragged:
         raise NotImplementedError(
             "ragged (per-stream) lengths are a pos_major-layout feature; "
@@ -1145,6 +1221,7 @@ def layer_forward(
     cache_kv=None,
     cache_len=None,
     attend_cap=None,
+    new_valid=None,
     rng=None,
     deterministic: bool = True,
 ):
@@ -1180,6 +1257,7 @@ def layer_forward(
                 cache_kv=cache_kv,
                 cache_len=cache_len,
                 attend_cap=attend_cap,
+                new_valid=new_valid,
             )
         else:
             t_attn = temporal_attention(
@@ -1466,6 +1544,7 @@ def streaming_forward(
     *,
     total_frames_hint: Optional[int] = None,
     attend_capacity: Optional[int] = None,
+    new_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Params]:
     """Append T new frames to the stream; returns (outputs, new_cache).
 
@@ -1485,9 +1564,23 @@ def streaming_forward(
     time-embedding interpolation; by default the cache capacity governs —
     within trained positions (total <= num_frames trained) the table is
     indexed directly, matching the reference exactly.
+
+    ``new_valid`` (B,) int32 in [0, T], ragged caches only: per-stream
+    partial appends — stream b appends only its first new_valid[b] frames
+    (its ``len`` advances by new_valid[b]); output columns past
+    new_valid[b] are garbage the caller must discard. One t=k dispatch
+    can then advance every serving slot by its OWN staged count
+    (StreamingEngine.tick(frames=k)) while reading the temporal KV cache
+    ONCE instead of k times (the t=1 decode is ~half cache-read-bound at
+    the flagship config — PERF.md "Engine throughput mode").
     """
     b, t = pixel_values.shape[:2]
     cache_len = cache["len"]
+    if new_valid is not None:
+        assert jnp.asarray(cache_len).ndim == 1, (
+            "new_valid (per-stream partial appends) needs "
+            "init_cache(per_stream_len=True)"
+        )
     total = total_frames_hint if total_frames_hint is not None else cfg.num_frames
     x = embed(
         params,
@@ -1505,9 +1598,11 @@ def streaming_forward(
             cache_kv=cache["layers"][i],
             cache_len=cache_len,
             attend_cap=attend_capacity,
+            new_valid=new_valid,
         )
         new_layers.append(new_cache_i)
     x = layer_norm(x, params["post_layernorm"], cfg.layer_norm_eps)
     pooled = map_pool(x, params["map_head"], cfg)
-    new_cache = {"layers": new_layers, "len": cache_len + t}
+    adv = t if new_valid is None else new_valid
+    new_cache = {"layers": new_layers, "len": cache_len + adv}
     return {"last_hidden_state": x, "pooler_output": pooled}, new_cache

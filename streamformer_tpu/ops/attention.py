@@ -814,6 +814,201 @@ def fused_temporal_decode_pm_ragged(
     return out, k_out, v_out
 
 
+def _pm_append_multi_kernel(len_ref, val_ref, q_ref, kn_ref, vn_ref,
+                            k_ref, v_ref, o_ref, ok_ref, ov_ref,
+                            m_ref, l_ref, acc_ref,
+                            *, num_heads, cache_block, t):
+    """Multi-frame ragged append-and-attend (StreamingEngine throughput
+    mode): T new frames per stream in ONE kernel pass. The t=1 decode
+    re-reads the full temporal KV cache per appended frame — at the
+    flagship serving config that read is ~half the step, so a scan of k
+    t=1 steps pays it k times. Here each (CB, RB, D) cache block is read
+    from HBM ONCE and all T queries consume it from VMEM (T-fold
+    arithmetic on the same traffic); the T new K/V rows land in their
+    [len, len+valid) slots during the aliased write-back.
+
+    Per row block (grid (rows, position-blocks), same flat (C, R', D)
+    layout and per-ROW-BLOCK scalar-prefetch lengths as
+    fused_temporal_decode_pm_ragged):
+      * j == 0 seeds the online softmax with the intra-block causal
+        attention among the new frames (query ti attends new frames
+        tj <= ti; queries ti >= valid[stream] are garbage the caller
+        discards — their rows never write the cache);
+      * every cache block updates all T accumulators (old positions
+        < len only);
+      * write-back merges the new rows into slots [len, len+valid) —
+        blocks are copied through, so append traffic is one extra
+        cache write (linear mode only: slots >= len+valid are dead by
+        the ``len`` masking contract everywhere else).
+    """
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+    cache_len = len_ref[i]
+    valid = val_ref[i]
+    cb = cache_block
+    rb, d = q_ref.shape[1:]
+    h = num_heads
+    dh = d // h
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    seg = (d_idx // dh == h_idx).astype(jnp.float32)
+    seg_t = seg.T
+    mm_prec = (
+        jax.lax.Precision.HIGHEST
+        if k_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mm_prec,
+        )
+
+    qs = q_ref[...].astype(jnp.float32)  # (T, RB, D)
+    kns = kn_ref[...].astype(jnp.float32)
+    vns = vn_ref[...].astype(jnp.float32)
+    scale = dh**-0.5
+
+    @pl.when(j == 0)
+    def _():
+        # seed: causal attention among the new frames (query ti vs
+        # tj <= ti). For valid queries every attended tj is itself valid
+        # (tj <= ti < valid); garbage queries stay garbage row-locally.
+        for ti in range(t):
+            m = mm(kns[0] * qs[ti], seg) * scale  # (RB, H)
+            l = jnp.ones_like(m)
+            acc = vns[0]
+            for tj in range(1, ti + 1):
+                s = mm(kns[tj] * qs[ti], seg) * scale
+                m_new = jnp.maximum(m, s)
+                corr = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * corr + p
+                acc = acc * mm(corr, seg_t) + mm(p, seg_t) * vns[tj]
+                m = m_new
+            m_ref[ti] = m
+            l_ref[ti] = l
+            acc_ref[ti] = acc
+
+    @pl.when(j * cb < cache_len)
+    def _():
+        k_t = k_ref[...].astype(jnp.float32)  # (CB, RB, D)
+        v_t = v_ref[...].astype(jnp.float32)
+        pos = j * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, rb, h), 0)
+        ok = pos < cache_len  # old positions only; new frames seeded j==0
+        for ti in range(t):
+            x = k_t * qs[ti][None]
+            scores = mm(x.reshape(cb * rb, d), seg).reshape(cb, rb, h) * scale
+            scores = jnp.where(ok, scores, NEG_INF)
+            m_new = jnp.maximum(m_ref[ti], jnp.max(scores, axis=0))
+            corr = jnp.exp(m_ref[ti] - m_new)
+            p = jnp.exp(scores - m_new[None])
+            l_ref[ti] = l_ref[ti] * corr + jnp.sum(p, axis=0)
+            p_d = mm(p.reshape(cb * rb, h), seg_t).reshape(cb, rb, d)
+            acc_ref[ti] = acc_ref[ti] * mm(corr, seg_t) + jnp.sum(
+                p_d * v_t, axis=0
+            )
+            m_ref[ti] = m_new
+
+    # merge-write the appended rows: slot j*cb + ci takes new frame
+    # (slot - len) when that offset is a valid new frame. k_ref may be a
+    # CLAMPED lower block when j*cb >= len — every slot it then copies
+    # through is >= len (dead by the len-masking contract), so the wrong
+    # source content is unobservable; live slots (< len) always come from
+    # the true block j.
+    for ci in range(cb):
+        ti_off = j * cb + ci - cache_len
+        in_w = (ti_off >= 0) & (ti_off < valid)
+        src = jnp.clip(ti_off, 0, t - 1)
+        kn_row = kn_ref[pl.ds(src, 1), :, :]
+        vn_row = vn_ref[pl.ds(src, 1), :, :]
+        ok_ref[ci : ci + 1] = jnp.where(
+            in_w, kn_row.astype(ok_ref.dtype), k_ref[ci : ci + 1]
+        )
+        ov_ref[ci : ci + 1] = jnp.where(
+            in_w, vn_row.astype(ov_ref.dtype), v_ref[ci : ci + 1]
+        )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        for ti in range(t):
+            o_ref[ti] = (
+                acc_ref[ti] / mm(l_ref[ti], seg_t)
+            ).astype(o_ref.dtype)
+
+
+def fused_temporal_append_pm_ragged(
+    q: jnp.ndarray,  # (T, R', D) — R' = B * n_pad, per-stream rows padded
+    k_new: jnp.ndarray,  # (T, R', D)
+    v_new: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (C, R', D) pos-major flat, bf16/fp32
+    v_cache: jnp.ndarray,
+    lens: jnp.ndarray,  # (B,) int32 — per-stream append start
+    valid: jnp.ndarray,  # (B,) int32 in [0, T] — frames appended per stream
+    n_pad: int,
+    *,
+    num_heads: int,
+    out_dtype=None,
+    row_block: int = 40,
+    cache_block: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """T-frame ragged append-and-attend — the StreamingEngine throughput
+    mode's kernel (see _pm_append_multi_kernel). Linear cache mode only
+    (ring holds are illegal); caller contract lens + valid <= C per
+    stream. Returns (out (T, R', D), k_cache, v_cache), caches aliased
+    in/out. The einsum formulation (_ragged_attend_einsum with new_valid)
+    is the correctness oracle and the VJP/backward story is inherited
+    from serving being inference-only."""
+    t, r, d = q.shape
+    c = k_cache.shape[0]
+    b = r // n_pad
+    assert n_pad % 8 == 0 and b * n_pad == r
+    cb = min(cache_block, c)
+    while c % cb:
+        cb -= 1
+    row_block = _ragged_row_block(n_pad, row_block)
+    out_dtype = out_dtype or q.dtype
+    bps = n_pad // row_block  # row blocks per stream
+    lens = jnp.repeat(jnp.asarray(lens, jnp.int32), bps)
+    valid = jnp.repeat(jnp.asarray(valid, jnp.int32), bps)
+    tq_spec = pl.BlockSpec((t, row_block, d), lambda i, j, l, w: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (cb, row_block, d),
+        # clamped to the stream's valid prefix for the ATTENTION reads;
+        # merge-write correctness under the clamp is argued in the kernel
+        lambda i, j, l, w: (jnp.minimum(j, jnp.maximum(l[i] - 1, 0) // cb),
+                            i, 0),
+        memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec((cb, row_block, d),
+                               lambda i, j, l, w: (j, i, 0),
+                               memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_pm_append_multi_kernel, num_heads=num_heads,
+                          cache_block=cb, t=t),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(r // row_block, c // cb),
+            in_specs=[tq_spec, tq_spec, tq_spec, kv_spec, kv_spec],
+            out_specs=(tq_spec, kv_out_spec, kv_out_spec),
+            scratch_shapes=[
+                pltpu.VMEM((t, row_block, num_heads), jnp.float32),
+                pltpu.VMEM((t, row_block, num_heads), jnp.float32),
+                pltpu.VMEM((t, row_block, d), jnp.float32),
+            ]),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, r, d), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # operands: (lens, valid, q, k_new, v_new, k_cache, v_cache)
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(lens, valid, q, k_new, v_new, k_cache, v_cache)
+    return out, k_out, v_out
+
+
 def _pm8_decode_kernel(len_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
                        k_ref, v_ref, ks_ref, vs_ref, o_ref, ok_ref, ov_ref,
                        m_ref, l_ref, acc_ref, kst_ref, vst_ref,

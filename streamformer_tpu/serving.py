@@ -230,12 +230,23 @@ class StreamingEngine:
         return step
 
     def _step_for(self, k: int):
-        """Compiled MULTI-FRAME tick: a lax.scan of k t=1 steps in ONE
-        dispatch, each slot consuming up to ``navail[s]`` staged frames
-        (sub-steps past a slot's count are holds: dummy append, len rolled
-        back, output discarded at demux). On a tunnel where dispatch
-        latency (~1-1.5 ms) rivals the ~4 ms step, k frames per dispatch
-        amortize it k-fold — the throughput mode VERDICT r4 #5 asked for.
+        """Compiled MULTI-FRAME tick (throughput mode, VERDICT r4 #5).
+
+        Linear mode: ONE t=k streaming_forward append — slot s consumes its
+        OWN ``navail[s]`` staged frames via the per-stream partial-append
+        path (``new_valid``, encoder._ragged_attend_einsum). This is the
+        HBM-bandwidth play, not just dispatch amortization: the t=1 decode
+        kernel re-reads the FULL temporal KV cache per appended frame
+        (~half its step time at the flagship config), while one t=k append
+        reads it once and runs k-fold bigger spatial/MLP GEMMs on the MXU —
+        measured >1.7x the scan-of-k formulation end-to-end (PERF.md
+        "Engine throughput mode").
+
+        Ring mode: holds are illegal (a wrap-around dummy write would evict
+        in-window history) and the ragged ring decode is kernel-only, so it
+        keeps the lax.scan of k t=1 steps; tick() already forces uniform
+        consumption (min over slots) there.
+
         Outputs come back (slots, k, D); the host trims row s to
         navail[s]."""
         if k in self._step_k:
@@ -243,6 +254,32 @@ class StreamingEngine:
         cfg = self.cfg
         slots, depth = self.slots, self._stage_depth
         u8, norm, dt = self._stage_u8, self._norm, self._dt
+
+        def _normalize(frames):
+            if not u8:
+                return frames
+            f = frames.astype(jnp.float32) / 255.0
+            if norm is not None:
+                f = (f - norm[0]) / norm[1]
+            return f.astype(dt)
+
+        if self.mode != "ring":
+
+            @partial(jax.jit, donate_argnums=(2, 3))
+            def step_k(params, stage, rd, cache, admit, navail):
+                rd = jnp.where(admit, 0, rd)
+                cache = encoder.reset_streams(cache, admit)
+                idx = (rd[:, None] + jnp.arange(k)[None]) % depth
+                frames = _normalize(
+                    stage[jnp.arange(slots)[:, None], idx]
+                )  # (slots, k, C, H, W)
+                out, cache = encoder.streaming_forward(
+                    params, frames, cache, cfg=cfg, new_valid=navail,
+                )
+                return out["pooler_output"], cache, rd + navail
+
+            self._step_k[k] = step_k
+            return step_k
 
         @partial(jax.jit, donate_argnums=(2, 3))
         def step_k(params, stage, rd, cache, admit, navail):
@@ -252,12 +289,9 @@ class StreamingEngine:
             def body(carry, i):
                 cache, rd = carry
                 active = i < navail
-                frame = stage[jnp.arange(slots), rd % depth][:, None]
-                if u8:
-                    f = frame.astype(jnp.float32) / 255.0
-                    if norm is not None:
-                        f = (f - norm[0]) / norm[1]
-                    frame = f.astype(dt)
+                frame = _normalize(
+                    stage[jnp.arange(slots), rd % depth][:, None]
+                )
                 out, cache = encoder.streaming_forward(params, frame, cache,
                                                        cfg=cfg)
                 cache = {**cache,

@@ -163,6 +163,141 @@ def test_ragged_decode_kernel_interpret():
             )
 
 
+def test_multi_append_kernel_interpret():
+    """The T-frame ragged append-and-attend kernel (StreamingEngine
+    throughput mode: all T queries answered per cache read, new rows
+    merged into [len, len+valid) during the aliased write-back) matches a
+    per-row softmax oracle, including partial per-stream valid counts and
+    the merged cache planes."""
+    from streamformer_tpu.ops import attention as pops
+
+    rng = np.random.default_rng(5)
+    b, n_pad, cap, h, dh, t = 3, 8, 8, 2, 8, 3
+    d = h * dh
+    r = b * n_pad
+    lens = jnp.asarray([0, 2, 5], jnp.int32)
+    valid = jnp.asarray([3, 1, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((t, r, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((t, r, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((t, r, d)), jnp.float32)
+    k_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+    v_cache = jnp.asarray(rng.standard_normal((cap, r, d)), jnp.float32)
+
+    out, k2, v2 = pops.fused_temporal_append_pm_ragged(
+        q, kn, vn, k_cache, v_cache, lens, valid, n_pad,
+        num_heads=h, interpret=True, cache_block=4,
+    )
+
+    for bb in range(b):
+        L, V = int(lens[bb]), int(valid[bb])
+        for p in range(n_pad):
+            row = bb * n_pad + p
+            for ti in range(t):  # every query, incl. ti >= V for ti < V' ...
+                if ti >= max(V, 1) and V > 0:
+                    continue  # garbage columns: no contract
+                if V == 0 and ti > 0:
+                    continue
+                # query ti attends old cache [:L] + new frames [:ti+1]
+                ks = np.concatenate(
+                    [np.asarray(k_cache[:L, row]),
+                     np.asarray(kn[: ti + 1, row])]
+                )
+                vs = np.concatenate(
+                    [np.asarray(v_cache[:L, row]),
+                     np.asarray(vn[: ti + 1, row])]
+                )
+                got = np.asarray(out[ti, row])
+                for hh in range(h):
+                    sl = slice(hh * dh, (hh + 1) * dh)
+                    s = ks[:, sl] @ np.asarray(q[ti, row, sl]) * dh**-0.5
+                    p_ = np.exp(s - s.max())
+                    p_ = p_ / p_.sum()
+                    want = p_ @ vs[:, sl]
+                    np.testing.assert_allclose(
+                        got[sl], want, rtol=0, atol=1e-5,
+                        err_msg=f"row {row} q {ti} head {hh}",
+                    )
+            # merged planes: old content below len, new rows in
+            # [len, len+valid)
+            for slot in range(L):
+                np.testing.assert_allclose(
+                    np.asarray(k2[slot, row]), np.asarray(k_cache[slot, row]),
+                    atol=0, err_msg=f"old k slot {slot} row {row}",
+                )
+            for off in range(V):
+                np.testing.assert_allclose(
+                    np.asarray(k2[L + off, row]), np.asarray(kn[off, row]),
+                    atol=0, err_msg=f"new k slot {L+off} row {row}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(v2[L + off, row]), np.asarray(vn[off, row]),
+                    atol=0, err_msg=f"new v slot {L+off} row {row}",
+                )
+
+
+def test_multi_append_streaming_forward_parity():
+    """streaming_forward routed through the multi-append kernel
+    (interpret mode) equals the einsum path (use_pallas=False) for a
+    ragged t=3 append with partial per-stream new_valid — outputs on the
+    valid columns, appended planes, and the advanced lens."""
+    from jax.experimental import pallas as pl
+    from streamformer_tpu.ops import attention as A
+
+    cfg_e = small_cfg()
+    cfg_p = small_cfg(use_pallas=True)
+    params = encoder.init_params(jax.random.PRNGKey(0), cfg_e)
+    B, t = 3, 3
+    valid = jnp.asarray([3, 1, 0], jnp.int32)
+    lens0 = [2, 0, 4]
+    frames_all = jnp.asarray(
+        np.random.default_rng(7).standard_normal(
+            (B, 6, 3, cfg_e.image_size, cfg_e.image_size)
+        ),
+        jnp.float32,
+    )
+
+    def prefill(cfg):
+        # lockstep-append max(lens0) frames, then pin the mixed per-stream
+        # lens: slots >= lens0[b] hold stale content both runs share, and
+        # the appends under test overwrite [len, len+valid)
+        cache = encoder.init_cache(cfg, batch=B, per_stream_len=True)
+        for s in range(max(lens0)):
+            _, cache = encoder.streaming_forward(
+                params, frames_all[:, s : s + 1], cache, cfg)
+        return {**cache, "len": jnp.asarray(lens0, jnp.int32)}
+
+    new = frames_all[:, 3 : 3 + t]
+    out_e, cache_e = encoder.streaming_forward(
+        params, new, prefill(cfg_e), cfg_e, new_valid=valid)
+
+    import unittest.mock as mock
+    orig = pl.pallas_call
+    with mock.patch.object(
+        A.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    ), mock.patch.object(encoder, "_use_pallas", lambda cfg: cfg.use_pallas):
+        out_p, cache_p = encoder.streaming_forward(
+            params, new, prefill(cfg_p), cfg_p, new_valid=valid)
+
+    assert cache_e["len"].tolist() == cache_p["len"].tolist() == \
+        [l + int(v) for l, v in zip(lens0, valid)]
+    for bq in range(B):
+        v = int(valid[bq])
+        if v:
+            np.testing.assert_allclose(
+                np.asarray(out_p["pooler_output"][bq, :v]),
+                np.asarray(out_e["pooler_output"][bq, :v]),
+                rtol=0, atol=1e-5, err_msg=f"stream {bq}",
+            )
+    for i in range(cfg_e.num_hidden_layers):
+        for key in ("k", "v"):
+            np.testing.assert_allclose(
+                np.asarray(cache_p["layers"][i][key][:5]),
+                np.asarray(cache_e["layers"][i][key][:5]),
+                rtol=0, atol=1e-5, err_msg=f"layer {i} {key}",
+            )
+
+
 @pytest.mark.fast
 def test_ragged_ring_wraparound_kernel():
     """Per-stream lengths PAST capacity: the same kernel's slot-mod plane
