@@ -473,6 +473,46 @@ def test_engine_multiframe_tick_matches_single(params):
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
+def test_engine_multiframe_kernel_path(params, monkeypatch):
+    """The linear throughput tick through the REAL kernel path
+    (fused_temporal_append_pm_ragged, interpret mode standing in for the
+    TPU): engine features still equal the frames=1 einsum engine across
+    uneven lengths, partial counts and mid-run admission — pins the full
+    engine integration (staging gather, admit resets, new_valid demux)
+    on the code path production serves."""
+    from jax.experimental import pallas as pl
+    from streamformer_tpu.ops import attention as A
+
+    rng = np.random.default_rng(23)
+    lens = [3, 9, 2, 7]
+    clips = [rng.standard_normal((l, 3, 32, 32)).astype(np.float32)
+             for l in lens]
+
+    def run(cfg, frames):
+        eng = StreamingEngine(params, cfg, slots=2)
+        sids = []
+        for clip in clips:
+            sid = eng.open()
+            eng.feed(sid, clip)
+            eng.close(sid)
+            sids.append(sid)
+        eng.run_until_idle(frames=frames)
+        return [eng.poll(sid)[0] for sid in sids]
+
+    base = run(CFG, 1)  # einsum engine oracle
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        A.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(encoder, "_use_pallas", lambda cfg: cfg.use_pallas)
+    got = run(CFG.replace(use_pallas=True), 4)
+    for sid, (g, ref) in enumerate(zip(got, base)):
+        np.testing.assert_allclose(g, ref, rtol=0, atol=1e-5,
+                                   err_msg=f"stream {sid}")
+
+
 def test_engine_multiframe_ring_min_avail(params, monkeypatch):
     """Ring mode cannot hold, so a k-frame tick must run min-over-slots
     frames; outputs still equal the lone ring stream. (Ragged ring runs
