@@ -524,6 +524,32 @@ def main():
         _PARTIAL["engine_ingest_mb_per_sec"] = round(mbs, 1)
         _PARTIAL["engine_output_mb_per_sec"] = round(omb, 1)
 
+        # device-path rate of the SAME compiled throughput tick, measured
+        # with the SAME two-point differencing as fps_ragged_serving —
+        # sync/dispatch latency cancels in both, so this pair is the
+        # apples-to-apples engine-vs-bare comparison (the window number
+        # above additionally pays one tunnel-latency sync per ~70 ms
+        # window, which a real TPU host doesn't). Profile: admits off,
+        # len past capacity => every cache slot attended (the saturated
+        # 16-frame-context steady state).
+        step8 = eng._step_for(8)
+        admit_d = jnp.zeros(batch, bool)
+        nav_d = jnp.full(batch, 8, jnp.int32)
+        st = {"c": eng._cache, "rd": eng._rd_dev}
+
+        def timed_e(k):
+            o = None
+            t0 = time.perf_counter()
+            for _ in range(k):
+                o, st["c"], st["rd"] = step8(
+                    params, eng._stage, st["rd"], st["c"], admit_d, nav_d)
+            _ = float(jnp.sum(o.astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        timed_e(1)
+        dt8 = two_point(timed_e, 2, 10)
+        _PARTIAL["fps_engine_dispatch"] = round(batch * 8 / dt8, 2)
+
     def sec_train():
         """Training throughput: full fwd+bwd+adamw on the flagship encoder
         with an AR-style classification loss (16-frame clips, bf16). Params
@@ -990,6 +1016,7 @@ def main():
                 "engine_ingest_mb_per_sec"),
             "engine_output_mb_per_sec": _PARTIAL.get(
                 "engine_output_mb_per_sec"),
+            "fps_engine_dispatch": _PARTIAL.get("fps_engine_dispatch"),
             "lm_decode_tok_per_sec": _PARTIAL.get("lm_decode_tok_per_sec"),
             "lm_decode_tok_per_sec_32slots": _PARTIAL.get(
                 "lm_decode_tok_per_sec_32slots"),

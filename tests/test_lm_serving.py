@@ -572,10 +572,10 @@ def test_engine_mesh_sharded_matches_unsharded(lm):
                for n in [3, 7, 2, 6, 5, 4]]  # 6 requests over 4 slots
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
 
-    def run(mesh):
+    def run(mesh, cache_dtype=None):
         eng = DecodeEngine(params, cfg, slots=4, capacity=24,
                            max_new_tokens=5, prefill_buckets=(4, 8),
-                           mesh=mesh)
+                           mesh=mesh, cache_dtype=cache_dtype)
         sids = [eng.open(_emb(params, ids)) for ids in prompts]
         eng.run_until_idle()
         out = []
@@ -586,6 +586,9 @@ def test_engine_mesh_sharded_matches_unsharded(lm):
         return out
 
     assert run(mesh) == run(None)
+    # quantized caches shard the same way (slot axis): int4's packed
+    # planes + scales compose with the mesh path bit-identically
+    assert run(mesh, "int4") == run(None, "int4")
 
 
 def test_prompt_exactly_capacity(lm):
