@@ -923,7 +923,10 @@ def temporal_attention(
         and cfg.cache_layout == "pos_major"
         and cfg.cache_mode != "ring"
         and _ragged
-        and 2 <= t <= 16
+        # t > 8 blows the kernel's VMEM budget at flagship row blocks
+        # (t-scaled q/kn/vn/acc buffers); the engine chunks bigger ticks
+        # into <=8-frame appends inside one dispatch (serving._step_for)
+        and 2 <= t <= 8
         and causal
         and "k_scale" not in cache_kv
         and attend_cap is None

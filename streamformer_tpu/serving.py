@@ -264,19 +264,31 @@ class StreamingEngine:
             return f.astype(dt)
 
         if self.mode != "ring":
+            # the append kernel's VMEM budget caps one call at 8 frames;
+            # bigger ticks chain ceil(k/8) appends INSIDE the one dispatch
+            # (still one cache read per 8 frames, one dispatch+sync per
+            # tick; chunk i+1's queries see chunk i via the cache)
+            t_max = 8
 
             @partial(jax.jit, donate_argnums=(2, 3))
             def step_k(params, stage, rd, cache, admit, navail):
                 rd = jnp.where(admit, 0, rd)
                 cache = encoder.reset_streams(cache, admit)
-                idx = (rd[:, None] + jnp.arange(k)[None]) % depth
-                frames = _normalize(
-                    stage[jnp.arange(slots)[:, None], idx]
-                )  # (slots, k, C, H, W)
-                out, cache = encoder.streaming_forward(
-                    params, frames, cache, cfg=cfg, new_valid=navail,
-                )
-                return out["pooler_output"], cache, rd + navail
+                outs = []
+                for ci in range(0, k, t_max):
+                    kk = min(t_max, k - ci)
+                    idx = (rd[:, None] + ci + jnp.arange(kk)[None]) % depth
+                    frames = _normalize(
+                        stage[jnp.arange(slots)[:, None], idx]
+                    )  # (slots, kk, C, H, W)
+                    nv = jnp.clip(navail - ci, 0, kk)
+                    out, cache = encoder.streaming_forward(
+                        params, frames, cache, cfg=cfg, new_valid=nv,
+                    )
+                    outs.append(out["pooler_output"])
+                pooled = (outs[0] if len(outs) == 1
+                          else jnp.concatenate(outs, axis=1))
+                return pooled, cache, rd + navail
 
             self._step_k[k] = step_k
             return step_k

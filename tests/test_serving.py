@@ -511,6 +511,13 @@ def test_engine_multiframe_kernel_path(params, monkeypatch):
     for sid, (g, ref) in enumerate(zip(got, base)):
         np.testing.assert_allclose(g, ref, rtol=0, atol=1e-5,
                                    err_msg=f"stream {sid}")
+    # frames > 8 chunk into sequential <=8-frame kernel appends inside
+    # ONE dispatch (the kernel's VMEM cap) — chunk 2 must see chunk 1
+    # through the cache
+    got12 = run(CFG.replace(use_pallas=True), 12)
+    for sid, (g, ref) in enumerate(zip(got12, base)):
+        np.testing.assert_allclose(g, ref, rtol=0, atol=1e-5,
+                                   err_msg=f"stream {sid} frames=12")
 
 
 def test_engine_multiframe_ring_min_avail(params, monkeypatch):
