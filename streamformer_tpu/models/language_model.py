@@ -151,28 +151,36 @@ def init_cache(
     quantize_kv4; decode stays weights-bandwidth-bound, so throughput is
     unchanged while capacity doubles)."""
     dt = jnp.dtype(cfg.dtype)
-    shape = (batch, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    hkv, dh = cfg.num_key_value_heads, cfg.head_dim
+    # planes are FLAT 3-D (B, C, hkv*dh), head-major in the last dim —
+    # the 4-D (B, C, hkv, dh) form made XLA pick a permuted while-carry
+    # layout in the engine's k-step decode scan, inserting two full-plane
+    # relayout copies per layer per scan iteration (~200 MB/iteration at
+    # the bench config, measured in the compiled HLO). The (hkv, dh)
+    # split is a free bitcast at the attention read (minor-dims split),
+    # same design as the encoder's flat pos-major cache.
     ln = (
         jnp.zeros((batch,), jnp.int32)
         if per_stream_len
         else jnp.zeros((), jnp.int32)
     )
     if cache_dtype in ("int8", "int4"):
-        qdh = cfg.head_dim if cache_dtype == "int8" else cfg.head_dim // 2
+        qdh = dh if cache_dtype == "int8" else dh // 2
         if cache_dtype == "int4":
-            assert cfg.head_dim % 2 == 0, (
+            assert dh % 2 == 0, (
                 f"int4 KV nibble-packs pairs: head_dim must be even, "
-                f"got {cfg.head_dim}"
+                f"got {dh}"
             )
-        qshape = shape[:-1] + (qdh,)
+        qshape = (batch, capacity, hkv * qdh)
         layer = lambda: {
             "k": jnp.zeros(qshape, jnp.int8),
             "v": jnp.zeros(qshape, jnp.int8),
-            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
-            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "k_scale": jnp.zeros((batch, capacity, hkv), jnp.float32),
+            "v_scale": jnp.zeros((batch, capacity, hkv), jnp.float32),
         }
     else:
         assert cache_dtype is None, cache_dtype
+        shape = (batch, capacity, hkv * dh)
         layer = lambda: {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
     return {
         "layers": [layer() for _ in range(cfg.num_hidden_layers)],
@@ -246,29 +254,42 @@ def forward(
                 )
 
                 # int4 planes store dh/2 packed bytes — dispatch on the
-                # (static) plane width, so one forward serves both widths
-                int4 = cache["layers"][i]["k"].shape[-1] == dh // 2
+                # (static) flat plane width, so one forward serves both
+                int4 = (cache["layers"][i]["k"].shape[-1]
+                        == hkv * (dh // 2))
                 if int4:
                     from streamformer_tpu.ops.quant import (
                         dequantize_kv4 as dequantize_kv,
                         quantize_kv4 as quantize_kv,
                     )
+                qdh = dh // 2 if int4 else dh
                 kq, ks = quantize_kv(k)  # (B, l, hkv) scales over dh
                 vq, vs = quantize_kv(v)
                 lay = {
-                    "k": append(cache["layers"][i]["k"], kq),
-                    "v": append(cache["layers"][i]["v"], vq),
+                    # planes stay flat 3-D (see init_cache); the (hkv,
+                    # qdh) split/merge on the minor dims is a free bitcast
+                    "k": append(cache["layers"][i]["k"],
+                                kq.reshape(b, l, hkv * qdh)),
+                    "v": append(cache["layers"][i]["v"],
+                                vq.reshape(b, l, hkv * qdh)),
                     "k_scale": append(cache["layers"][i]["k_scale"], ks),
                     "v_scale": append(cache["layers"][i]["v_scale"], vs),
                 }
                 new_layers.append(lay)
-                k_att = dequantize_kv(lay["k"], lay["k_scale"], dt)
-                v_att = dequantize_kv(lay["v"], lay["v_scale"], dt)
+                cap = lay["k"].shape[1]
+                k_att = dequantize_kv(
+                    lay["k"].reshape(b, cap, hkv, qdh), lay["k_scale"], dt)
+                v_att = dequantize_kv(
+                    lay["v"].reshape(b, cap, hkv, qdh), lay["v_scale"], dt)
             else:
-                ck = append(cache["layers"][i]["k"], k.astype(dt))
-                cv = append(cache["layers"][i]["v"], v.astype(dt))
+                ck = append(cache["layers"][i]["k"],
+                            k.astype(dt).reshape(b, l, hkv * dh))
+                cv = append(cache["layers"][i]["v"],
+                            v.astype(dt).reshape(b, l, hkv * dh))
                 new_layers.append({"k": ck, "v": cv})
-                k_att, v_att = ck, cv
+                cap = ck.shape[1]
+                k_att = ck.reshape(b, cap, hkv, dh)
+                v_att = cv.reshape(b, cap, hkv, dh)
             kl = k_att.shape[1]
             kpos = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 1)
             qoff = jax.lax.broadcasted_iota(jnp.int32, (l, kl), 0)
