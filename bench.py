@@ -535,7 +535,10 @@ def main():
         step8 = eng._step_for(8)
         admit_d = jnp.zeros(batch, bool)
         nav_d = jnp.full(batch, 8, jnp.int32)
-        st = {"c": eng._cache, "rd": eng._rd_dev}
+        # copies, not the live buffers: step8 donates args 2-3, and
+        # handing it eng's own cache would delete the engine's buffers
+        st = {"c": jax.tree.map(jnp.copy, eng._cache),
+              "rd": jnp.copy(eng._rd_dev)}
 
         def timed_e(k):
             o = None

@@ -160,6 +160,14 @@ def export_lm_decode(
     embedded; a sampling deployment exports its own step or re-ranks the
     logits host-side. ``quantized_weights`` expects the ops.quant int8
     tree; ``cache_dtype`` exports the int8-KV cache layout.
+
+    Compatibility: the cache plane shape is part of the serialized
+    signature. r5 flattened LM cache planes from 4-D (B, C, hkv, dh) to
+    3-D (B, C, hkv*dh) (language_model.init_cache — kills per-iteration
+    relayout copies in scanned decode ticks), so artifacts exported
+    before that change reject caches built by current ``init_cache``:
+    re-export them. Artifacts pin their OWN shapes, so a re-export is a
+    call to this function — no weights change.
     """
     from streamformer_tpu.models import language_model as LM
 

@@ -367,6 +367,12 @@ def _use_pallas(cfg: StreamformerConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
+def _append_t_max() -> int:
+    from streamformer_tpu.ops.attention import APPEND_T_MAX
+
+    return APPEND_T_MAX
+
+
 def auto_cache_mode(cfg: StreamformerConfig) -> str:
     """'ring' when the fused pos-major decode kernels serve the sliding
     window (TPU + pallas + pos_major layout), else 'linear' — the einsum
@@ -923,10 +929,11 @@ def temporal_attention(
         and cfg.cache_layout == "pos_major"
         and cfg.cache_mode != "ring"
         and _ragged
-        # t > 8 blows the kernel's VMEM budget at flagship row blocks
-        # (t-scaled q/kn/vn/acc buffers); the engine chunks bigger ticks
-        # into <=8-frame appends inside one dispatch (serving._step_for)
-        and 2 <= t <= 8
+        # t past APPEND_T_MAX blows the kernel's VMEM budget at flagship
+        # row blocks (t-scaled q/kn/vn/acc buffers); the engine chunks
+        # bigger ticks into kernel-sized appends inside one dispatch
+        # (serving._step_for)
+        and 2 <= t <= _append_t_max()
         and causal
         and "k_scale" not in cache_kv
         and attend_cap is None

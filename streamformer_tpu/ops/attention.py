@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # avoid nan from (-inf) - (-inf) in padded rows
 _WRITE_W = 8  # cache-append write-back window (min lowerable sublane width)
+# max frames per fused_temporal_append_pm_ragged call: t=16 at flagship
+# row blocks measured 19.5 MB scoped VMEM vs the 16 MB limit (t-scaled
+# q/kn/vn/acc buffers). Consumed by BOTH the encoder dispatch gate and
+# the engine's tick chunking — keep them in lockstep through this name.
+APPEND_T_MAX = 8
 
 
 def _round_up(x: int, m: int) -> int:

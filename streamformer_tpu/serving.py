@@ -263,20 +263,35 @@ class StreamingEngine:
                 f = (f - norm[0]) / norm[1]
             return f.astype(dt)
 
-        if self.mode != "ring":
-            # the append kernel's VMEM budget caps one call at 8 frames;
-            # bigger ticks chain ceil(k/8) appends INSIDE the one dispatch
-            # (still one cache read per 8 frames, one dispatch+sync per
-            # tick; chunk i+1's queries see chunk i via the cache)
-            t_max = 8
+        # quantized caches keep the scan: the multi-append kernel is
+        # bf16/fp-only, and routing an int8-KV tick through the einsum
+        # path would dequantize + relayout the full cache per chunk —
+        # measured SLOWER than the scanned fused int8 t=1 decode
+        # (PERF.md formulation table)
+        if self.mode != "ring" and cfg.cache_dtype is None:
+            from streamformer_tpu.ops.attention import APPEND_T_MAX
+
+            # the append kernel's VMEM budget caps one call at
+            # APPEND_T_MAX frames; bigger ticks chain chunked appends
+            # INSIDE the one dispatch (still one cache read per chunk,
+            # one dispatch+sync per tick; chunk i+1's queries see chunk
+            # i via the cache). A t=1 tail (k % max == 1) would silently
+            # drop that chunk to the einsum path (the kernel needs t>=2)
+            # — rebalance the last two chunks instead.
+            chunks = [APPEND_T_MAX] * (k // APPEND_T_MAX)
+            if k % APPEND_T_MAX:
+                chunks.append(k % APPEND_T_MAX)
+            if len(chunks) > 1 and chunks[-1] == 1:
+                chunks[-2] -= 1
+                chunks[-1] = 2
 
             @partial(jax.jit, donate_argnums=(2, 3))
             def step_k(params, stage, rd, cache, admit, navail):
                 rd = jnp.where(admit, 0, rd)
                 cache = encoder.reset_streams(cache, admit)
                 outs = []
-                for ci in range(0, k, t_max):
-                    kk = min(t_max, k - ci)
+                ci = 0
+                for kk in chunks:
                     idx = (rd[:, None] + ci + jnp.arange(kk)[None]) % depth
                     frames = _normalize(
                         stage[jnp.arange(slots)[:, None], idx]
@@ -286,6 +301,7 @@ class StreamingEngine:
                         params, frames, cache, cfg=cfg, new_valid=nv,
                     )
                     outs.append(out["pooler_output"])
+                    ci += kk
                 pooled = (outs[0] if len(outs) == 1
                           else jnp.concatenate(outs, axis=1))
                 return pooled, cache, rd + navail

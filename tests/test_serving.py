@@ -473,6 +473,41 @@ def test_engine_multiframe_tick_matches_single(params):
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
+def test_engine_multiframe_int8_and_odd_k(params):
+    """Two _step_for dispatch guards: an int8-KV engine keeps the
+    scan-of-t=1 formulation (the multi-append kernel is bf16/fp-only and
+    the einsum fallback would dequantize the full cache per chunk), and
+    frames=9 rebalances its chunks to avoid a t=1 tail — both must still
+    equal the frames=1 engine."""
+    rng = np.random.default_rng(29)
+    lens = [3, 9, 5]
+    clips = [rng.standard_normal((l, 3, 32, 32)).astype(np.float32)
+             for l in lens]
+
+    def run(cfg, frames):
+        eng = StreamingEngine(params, cfg, slots=2)
+        sids = []
+        for clip in clips:
+            sid = eng.open()
+            eng.feed(sid, clip)
+            eng.close(sid)
+            sids.append(sid)
+        eng.run_until_idle(frames=frames)
+        return [eng.poll(sid)[0] for sid in sids]
+
+    cfg8 = CFG.replace(cache_dtype="int8")
+    base8 = run(cfg8, 1)
+    for got, ref in zip(run(cfg8, 4), base8):
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+    eng = StreamingEngine(params, CFG, slots=2)
+    step9 = eng._step_for(9)  # compiles with chunks [7, 2], not [8, 1]
+    assert step9 is not None
+    base = run(CFG, 1)
+    for got, ref in zip(run(CFG, 9), base):
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
 def test_engine_multiframe_kernel_path(params, monkeypatch):
     """The linear throughput tick through the REAL kernel path
     (fused_temporal_append_pm_ragged, interpret mode standing in for the
