@@ -104,17 +104,17 @@ def _windowed_fwd(cfg: StreamformerConfig):
 
 
 @lru_cache(maxsize=None)
-def _make_batched_step(cfg: StreamformerConfig):
-    """One compiled tick: re-admit freed slots, then advance every stream
-    one frame. Params are an argument (not a closure) so they are not baked
-    into the compile payload; the cache is donated (no per-tick copy)."""
+def _batched_engine(cfg: StreamformerConfig, slots: int, mode: str):
+    """Engines are memoized per (cfg, slots, mode) like the lone-stream
+    jit wrappers above: every StreamingEngine owns fresh jit closures, so
+    a per-call engine would re-trace (and re-XLA-compile) the full
+    encoder on EVERY extraction call — tens of seconds through the
+    compile tunnel. A finished engine is clean (all streams retired), so
+    reuse is safe; ``params`` is a dispatch operand the caller swaps."""
+    from streamformer_tpu.serving import StreamingEngine
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(params, frame, cache, admit):
-        cache = encoder.reset_streams(cache, admit)
-        return encoder.streaming_forward(params, frame, cache, cfg=cfg)
-
-    return step
+    return StreamingEngine(None, cfg, slots=slots, mode=mode,
+                           collect="pooled")
 
 
 def extract_features_batched(
@@ -123,23 +123,22 @@ def extract_features_batched(
     clips: Sequence[jnp.ndarray],  # each (L_i, C, H, W), preprocessed
     slots: int = 8,
     capacity: Optional[int] = None,
+    frames_per_tick: int = 8,
 ) -> List[np.ndarray]:
     """Continuous-batching extraction: many videos through one ragged cache.
 
     ``extract_features_streaming`` runs one video at a time — batch 1
     leaves the chip mostly idle (the MXU wants B·N-row matmuls). Here
-    ``slots`` videos stream together through a per-stream-length cache
-    (``init_cache(per_stream_len=True)``): every tick advances each
-    occupied slot by one frame (the production fused t=1 decode), and a
-    finished slot is re-admitted with the next queued video via
-    ``reset_streams`` — no recompiles, no lockstep padding, utilization
-    ~slots× the lone-stream path. The reference shards its video list
-    across 8 GPUs instead (extract_oad_feature.py; one video per process).
-
-    Admission order is greedy FIFO; because every video's length is known
-    up front the whole schedule is precomputed on the host and the loop
-    never reads device outputs — dispatch stays async, pooled features are
-    fetched in bulk afterwards.
+    ``slots`` videos stream together through ``serving.StreamingEngine``
+    (per-stream-length cache, strict-FIFO slot recycling): frames are
+    bulk-staged into the engine's per-slot device ring at feed time (one
+    transfer per admitted video, not one per tick), and
+    ``frames_per_tick`` frames advance per dispatch — the linear-mode
+    multi-frame append kernel reads the temporal KV cache once per chunk
+    instead of once per frame (ops/attention
+    fused_temporal_append_pm_ragged; ring mode scans fused t=1 decodes).
+    The reference shards its video list across 8 GPUs instead
+    (extract_oad_feature.py; one video per process).
 
     Context semantics match ``extract_features_streaming``: each frame
     attends the last ``capacity`` frames. The sliding window needs the
@@ -148,6 +147,8 @@ def extract_features_batched(
 
     Returns per-clip (L_i, D) float32 feature arrays, input order.
     """
+    from streamformer_tpu.serving import StreamingEngine
+
     capacity = capacity or cfg.cache_capacity
     mode = encoder.auto_cache_mode(cfg)
     lens = [int(c.shape[0]) for c in clips]
@@ -159,68 +160,19 @@ def extract_features_batched(
         )
     cfg = cfg.replace(cache_mode=mode, cache_capacity=capacity)
 
-    # --- host-side schedule: (admit mask, [(slot, video, frame)]) per tick
-    slot_vid = [-1] * slots
-    slot_f = [0] * slots
-    # zero-length clips never take a slot (their (0, D) output needs no
-    # ticks; admitting one would never satisfy the frame==len retire
-    # check and the schedule loop would spin forever)
-    pending = [v for v in range(len(clips)) if lens[v] > 0][::-1]
-    ticks = []
-    while pending or any(v >= 0 for v in slot_vid):
-        admit = np.zeros(slots, bool)
-        for s in range(slots):
-            if slot_vid[s] < 0 and pending:
-                slot_vid[s] = pending.pop()
-                slot_f[s] = 0
-                admit[s] = True
-        feeds = []
-        for s in range(slots):
-            if slot_vid[s] >= 0:
-                feeds.append((s, slot_vid[s], slot_f[s]))
-        ticks.append((admit, feeds))
-        for s, v, f in feeds:
-            slot_f[s] += 1
-            if slot_f[s] == lens[v]:
-                slot_vid[s] = -1
-
-    # --- device loop: async dispatch, bulk feature fetch
-    dt = jnp.dtype(cfg.dtype)
-    c, hh, ww = clips[0].shape[1:] if clips else (3, cfg.image_size,
-                                                  cfg.image_size)
-    step = _make_batched_step(cfg)
-    cache = encoder.init_cache(cfg, batch=slots, capacity=capacity,
-                               per_stream_len=True)
-    pooled_chunks, window = [], []
-    # admit is all-False on every steady-state tick: keep ONE device copy
-    # and upload only on (rare) admission ticks — each small host->device
-    # transfer costs ~1 ms of tunnel latency against a ~4 ms step
-    admit_idle = jnp.zeros((slots,), bool)
-    for admit, feeds in ticks:
-        frame = np.zeros((slots, 1, c, hh, ww), dt)
-        for s, v, f in feeds:
-            frame[s, 0] = clips[v][f]
-        out, cache = step(params, jnp.asarray(frame), cache,
-                          jnp.asarray(admit) if admit.any() else admit_idle)
-        window.append(out["pooler_output"])  # (slots, 1, D) on device
-        if len(window) >= 1024:  # bound device-resident output memory
-            pooled_chunks.append(
-                np.asarray(jnp.concatenate(window, 1), np.float32)
-            )
-            window = []
-    if window:
-        pooled_chunks.append(
-            np.asarray(jnp.concatenate(window, 1), np.float32)
-        )
-    pooled = (np.concatenate(pooled_chunks, 1) if pooled_chunks
-              else np.zeros((slots, 0, cfg.hidden_size), np.float32))
-
-    # --- demux per-tick slot outputs back to per-video features
-    feats = [np.zeros((l, cfg.hidden_size), np.float32) for l in lens]
-    for ti, (_, feeds) in enumerate(ticks):
-        for s, v, f in feeds:
-            feats[v][f] = pooled[s, ti]
-    return feats
+    eng = _batched_engine(cfg, slots, mode)
+    eng.params = params  # an operand of every dispatch, never baked in
+    sids = []
+    for clip in clips:
+        sid = eng.open()
+        # zero-length clips: open+close with no frames — the engine
+        # retires them without ever taking a slot; poll answers (0, D)
+        if clip.shape[0]:
+            eng.feed(sid, np.asarray(clip, np.float32))
+        eng.close(sid)
+        sids.append(sid)
+    eng.run_until_idle(frames=max(1, int(frames_per_tick)))
+    return [eng.poll(sid)[0] for sid in sids]
 
 
 def extract_videos_batched(

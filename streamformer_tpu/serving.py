@@ -517,6 +517,13 @@ class StreamingEngine:
             k = max(1, min(int(a) for a in avail[avail > 0])) if \
                 avail.any() else 1
             k = min(k, frames)
+            # floor to a power of two: min-avail varies tick to tick with
+            # heterogeneous stream lengths, and every distinct k compiles
+            # its own scan program — unbounded k values caused a compile
+            # storm (one ~10-40 s tunnel compile per new k) in the
+            # batched extractor; log2(frames) programs serve all of them,
+            # the remainder frames just land in the next tick
+            k = 1 << (k.bit_length() - 1)
         navail = np.minimum(avail, k).astype(np.int32)
 
         if k == 1:
