@@ -112,9 +112,21 @@ class TimesformerVisionTower:
             return out["last_hidden_state"]
 
         if self._cache is None:
-            self._cache = encoder.init_cache(self.cfg, batch=b)
+            # linear mode streams on the RAGGED (per-stream-length) cache:
+            # its multi-frame appends run the fused append kernel on TPU
+            # (ops/attention.fused_temporal_append_pm_ragged — one cache
+            # read per chunk), where the lockstep multi-frame einsum pays
+            # tile-padded relayouts of the whole cache per layer. Lens
+            # stay uniform (one stream per row); ring mode keeps the
+            # lockstep cache (ragged ring is t=1-kernel-only).
+            self._cache = encoder.init_cache(
+                self.cfg, batch=b,
+                per_stream_len=self.cfg.cache_mode != "ring",
+            )
+        ln = self._cache["len"]
+        cur = int(ln if ln.ndim == 0 else ln[0])
         if self.cfg.cache_mode != "ring":
-            total = int(self._cache["len"]) + px.shape[1]
+            total = cur + px.shape[1]
             if total > self.cfg.cache_capacity:
                 raise ValueError(
                     f"stream length {total} exceeds cache_capacity "
@@ -122,8 +134,21 @@ class TimesformerVisionTower:
                     "cache_mode='ring' for unbounded streams (sliding "
                     "window in fixed HBM) or clear_cache() to restart"
                 )
-        out, self._cache = self._step(self.params, px, self._cache)
-        new = out["last_hidden_state"]  # (B, T_new, N, D)
+        if self.cfg.cache_mode != "ring" and px.shape[1] > 1:
+            # chunk at the append kernel's VMEM cap; chunk i+1 attends
+            # chunk i through the cache (contract-equal to one append)
+            from streamformer_tpu.ops.attention import APPEND_T_MAX
+
+            outs = []
+            for ci in range(0, px.shape[1], APPEND_T_MAX):
+                out, self._cache = self._step(
+                    self.params, px[:, ci : ci + APPEND_T_MAX], self._cache)
+                outs.append(out["last_hidden_state"])
+            new = (outs[0] if len(outs) == 1
+                   else jnp.concatenate(outs, axis=1))
+        else:
+            out, self._cache = self._step(self.params, px, self._cache)
+            new = out["last_hidden_state"]  # (B, T_new, N, D)
         self._history = (
             new
             if self._history is None
